@@ -1,0 +1,18 @@
+"""DataFrame-native dedup / similarity operators.
+
+Each module is one operator family from SURVEY.md §2 Part B:
+
+* ``minhash``    — shingling, MinHash signatures, LSH banding, candidate
+                   self-join, exact-Jaccard verification (GEN of the
+                   reference's dictionary probe, `src/dict.rs:38-63`).
+* ``simhash``    — 64-bit SimHash fingerprints + Hamming-ball banding for
+                   near-exact spans (GEN of the reference's
+                   noise-in-deviation-positions test, `src/lib.rs:163-175`).
+* ``substring``  — winnowing fingerprints for long verbatim substring
+                   detection (GEN of the suffix-array plan, SURVEY.md §7 S3).
+* ``components`` — large-star/small-star connected components over candidate
+                   edges (clustering stage).
+* ``embedding``  — cosine top-k / near-dup over embedding columns
+                   (brute-force baseline + LSH-bucketed scale path).
+* ``exactdup``   — exact duplicate grouping via content hash.
+"""
