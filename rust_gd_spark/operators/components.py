@@ -1,0 +1,118 @@
+"""Connected components over candidate-pair edges — the clustering stage.
+
+Large-star/small-star alternation (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14; PAPERS.md): converges in O(log n) rounds,
+each round two shuffles, no driver-side state — unlike naive label
+propagation whose round count is the graph diameter.
+
+DataFrame-native formulation deliberately avoids ``collect_list`` neighbor
+arrays (a hot node's neighborhood would blow a single task at 10^12 scale);
+each round is groupBy-min + join, both AQE-skew-splittable:
+
+    large-star: for every node u, attach its strictly-larger neighbors to
+                m(u) = min(N(u) ∪ {u})
+    small-star: orient edges high→low; attach u and its smaller neighbors
+                to m(u) = min over those neighbors
+
+``localCheckpoint`` every round truncates lineage (on a real cluster with a
+configured checkpoint dir, ``df.checkpoint()`` — reliable, survives executor
+loss; SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: (src < dst), deduped, no self-loops."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("mn", "src").alias("m")
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = oriented.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return nbr_edges.union(self_edges)
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31 - 1))).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h or 0)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """``(node long, component long)`` for every node appearing in ``edges``;
+    component = min node id of the connected component.
+
+    Raises RuntimeError if not converged within ``max_iter`` rounds (CC on
+    n nodes needs O(log n) — 50 covers any realistic corpus).
+    """
+    cur = _canon(edges).localCheckpoint(eager=True)
+    prev_sig = None
+    for it in range(max_iter):
+        cur = _canon(_small_star(_large_star(cur)))
+        # signature collect is an action every round anyway; eager
+        # localCheckpoint keeps the lineage O(1) instead of O(rounds)
+        cur = cur.localCheckpoint(eager=True)
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # fixpoint is a star forest in canonical (min, max) form: src is the root
+    members = cur.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    roots = cur.select(F.col("src").alias("node"), F.col("src").alias("component"))
+    return members.union(roots).dropDuplicates(["node"])
+
+
+def assign_clusters(
+    ids: DataFrame, pair_edges: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Cluster assignment for EVERY row of ``ids``: ``(id, cluster_id)``.
+
+    ``pair_edges`` carries string ids (id_l, id_r); nodes are mapped to
+    int64 via xxhash64 (content-addressed — no sequential counter to
+    serialize on, same reasoning as ``assign_base_ids``); singletons keep
+    their own hash as cluster_id. The id→hash mapping stays in the output,
+    so a 64-bit collision can only merge two clusters, never corrupt ids.
+    """
+    nodes = ids.select(F.col(id_col).alias("id"), F.xxhash64(id_col).alias("node"))
+    edges = pair_edges.select(
+        F.xxhash64("id_l").alias("src"), F.xxhash64("id_r").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        nodes.join(comp, "node", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+        )
+    )

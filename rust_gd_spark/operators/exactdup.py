@@ -1,0 +1,45 @@
+"""Exact duplicate grouping via content hash — the degenerate (deviation=0)
+case of the reference's GD dictionary (`src/dict.rs:38-63`): identical
+content maps to the same dictionary entry.
+
+One shuffle (window by content key); canonical member = min id, which makes
+the output deterministic and oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .minhash import normalize_text
+
+
+def exact_dup_groups(
+    df: DataFrame,
+    id_col: str = "uid",
+    text_col: str = "text",
+    normalized: bool = False,
+) -> DataFrame:
+    """``(id, content_key, canonical_id, group_size)`` for every row.
+
+    content_key = md5 of (optionally normalized) text — md5 so the DuckDB
+    oracle computes the identical key. canonical_id = min(id) in the group.
+    """
+    key_src = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    w = Window.partitionBy("content_key")
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(key_src).alias("content_key"))
+        .withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+    )
+
+
+def exact_dup_pairs(groups: DataFrame) -> DataFrame:
+    """``(id_l, id_r)`` edges: every non-canonical member → its canonical.
+
+    Star edges (not all-pairs) — O(n) edges per group instead of O(n²);
+    connected components restores the full cluster.
+    """
+    return (
+        groups.filter(F.col("id") != F.col("canonical_id"))
+        .select(F.col("canonical_id").alias("id_l"), F.col("id").alias("id_r"))
+    )

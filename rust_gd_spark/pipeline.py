@@ -1,0 +1,227 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+north_rule shape: transcripts → (turn or conversation granularity) →
+three candidate paths (MinHash/LSH, SimHash, winnowing-substring) + exact
+hash dedup → union of verified pair edges → large-star/small-star connected
+components → cluster table, with per-stage materialization (resume from
+checkpoint), per-partition lineage rows, and dedup-ratio metrics.
+
+Resumability (SURVEY.md §4.3): when ``checkpoint_dir`` is set, every stage
+writes parquet under ``{checkpoint_dir}/{run_id}/{stage}``; a stage whose
+``_SUCCESS`` marker exists is read back instead of recomputed, so a killed
+job resumes at the first incomplete stage. (On a real cluster the same
+layout lands in Iceberg tables; parquet-dir-with-_SUCCESS is the sandbox
+equivalent of an Iceberg snapshot commit.)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators import exactdup, minhash, simhash, substring
+from .operators.components import assign_clusters
+
+
+@dataclass
+class DedupConfig:
+    """Shingle/signature config — the 'identical config' of the recall
+    criterion (BASELINE.json) and the analogue of the reference's
+    ``GD::setup`` params (`src/lib.rs:21-41`)."""
+
+    w: int = 5                       # word-shingle width (MinHash path)
+    num_perm: int = 128
+    bands: int = 32
+    rows: int = 4
+    jaccard_threshold: float = 0.7
+    char_k: int = 8                  # char-gram width (SimHash path)
+    sim_bands: int = 4
+    max_hamming: int = 3
+    min_substring_len: int = 200
+    max_bucket_size: int = 2000
+    seed: int = 1
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame              # (id, cluster_id)
+    pairs: DataFrame                 # (id_l, id_r, path, score)
+    metrics: DataFrame               # (run_id, stage, rows, wall_ms)
+    lineage: DataFrame               # (run_id, stage, partition_id, rows)
+    audits: dict = field(default_factory=dict)
+
+
+class _StageRunner:
+    """Materialize-or-resume per stage + lineage/metrics bookkeeping."""
+
+    def __init__(self, spark, checkpoint_dir: str | None, run_id: str):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.run_id = run_id
+        self.metrics: list[tuple] = []
+        self.lineage: list[tuple] = []
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.dir, self.run_id, stage)
+
+    def _committed(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def run(self, stage: str, build) -> DataFrame:
+        t0 = time.monotonic()
+        resumed = False
+        if self.dir is None:
+            out = build().localCheckpoint(eager=True)
+        elif self._committed(stage):
+            out = self.spark.read.parquet(self._path(stage))
+            resumed = True
+        else:
+            build().write.mode("overwrite").parquet(self._path(stage))
+            out = self.spark.read.parquet(self._path(stage))
+        part_rows = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        total = sum(r.rows for r in part_rows)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self.metrics.append((self.run_id, stage, total, wall_ms, resumed))
+        self.lineage.extend(
+            (self.run_id, stage, int(r.pid), int(r.rows)) for r in part_rows
+        )
+        return out
+
+    def metrics_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self.metrics, "run_id string, stage string, rows long, wall_ms long, resumed boolean"
+        )
+
+    def lineage_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self.lineage, "run_id string, stage string, partition_id int, rows long"
+        )
+
+
+def with_turn_uid(transcripts: DataFrame) -> DataFrame:
+    """uid = conv_id:turn_idx — the stable per-turn key (input_hint)."""
+    return transcripts.withColumn(
+        "uid", F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))
+    )
+
+
+def reassemble_conversations(transcripts: DataFrame) -> DataFrame:
+    """``(uid=conv_id, text)`` — turns concatenated under STABLE turn
+    ordering (sort_array over (turn_idx, text) structs; one shuffle by
+    conv_id, no global sort). The Spark form of the reference's in-order
+    chunk stream (`src/gd_byte_unit.rs:55-65`)."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .select(F.col("conv_id").alias("uid"), "text")
+    )
+
+
+def near_dup_pipeline(
+    df: DataFrame,
+    id_col: str = "uid",
+    text_col: str = "text",
+    cfg: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str = "run-0",
+) -> PipelineResult:
+    """The full dedup DAG. ``df`` must have unique ``id_col`` values."""
+    cfg = cfg or DedupConfig()
+    spark = df.sparkSession
+    runner = _StageRunner(spark, checkpoint_dir, run_id)
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    # --- exact path -------------------------------------------------------
+    exact_groups = runner.run(
+        "exact_groups", lambda: exactdup.exact_dup_groups(base, "id", "text")
+    )
+    exact_pairs = exactdup.exact_dup_pairs(exact_groups)
+
+    # --- MinHash/LSH path -------------------------------------------------
+    shingles = runner.run(
+        "shingles", lambda: minhash.shingle_df(base, "id", "text", w=cfg.w)
+    )
+
+    def _mh_pairs():
+        sig = minhash.minhash_signatures(shingles, cfg.num_perm, cfg.seed)
+        bands = minhash.lsh_bands(sig, cfg.bands, cfg.rows)
+        cand, audit = minhash.lsh_candidate_pairs(bands, cfg.max_bucket_size)
+        runner_audits["lsh_skew"] = audit
+        return minhash.verify_jaccard(cand, shingles, cfg.jaccard_threshold)
+
+    runner_audits: dict = {}
+    mh_pairs = runner.run("minhash_pairs", _mh_pairs)
+
+    # --- SimHash path -------------------------------------------------------
+    def _sh_pairs():
+        grams = simhash.char_ngram_df(base, "id", "text", k=cfg.char_k)
+        fps = simhash.simhash_fingerprints(grams)
+        banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
+        cand, audit = simhash.simhash_candidate_pairs(banded, cfg.max_bucket_size)
+        runner_audits["simhash_skew"] = audit
+        return simhash.verify_hamming(cand, cfg.max_hamming)
+
+    sh_pairs = runner.run("simhash_pairs", _sh_pairs)
+
+    # --- substring path -----------------------------------------------------
+    def _ss_pairs():
+        k = max(16, cfg.min_substring_len // 3)
+        w = cfg.min_substring_len - k + 1
+        fps = substring.winnow_fingerprints(base, "id", "text", k=k, w=w)
+        cand, audit = substring.substring_candidate_pairs(fps, cfg.max_bucket_size)
+        runner_audits["substring_skew"] = audit
+        return substring.verify_common_substring(
+            cand, base, "id", "text", cfg.min_substring_len
+        )
+
+    ss_pairs = runner.run("substring_pairs", _ss_pairs)
+
+    # --- union + clustering ---------------------------------------------------
+    def _all_pairs():
+        return (
+            exact_pairs.select("id_l", "id_r", F.lit("exact").alias("path"), F.lit(1.0).alias("score"))
+            .unionByName(mh_pairs.select("id_l", "id_r", F.lit("minhash").alias("path"), F.col("jaccard").alias("score")))
+            .unionByName(sh_pairs.select("id_l", "id_r", F.lit("simhash").alias("path"), (1.0 - F.col("hamming_dist") / 64.0).alias("score")))
+            .unionByName(ss_pairs.select("id_l", "id_r", F.lit("substring").alias("path"), F.col("common_len").cast("double").alias("score")))
+        )
+
+    pairs = runner.run("pairs", _all_pairs)
+
+    clusters = runner.run(
+        "clusters",
+        lambda: assign_clusters(base.select("id"), pairs.dropDuplicates(["id_l", "id_r"]), "id"),
+    )
+
+    return PipelineResult(
+        clusters=clusters,
+        pairs=pairs,
+        metrics=runner.metrics_df(),
+        lineage=runner.lineage_df(),
+        audits=runner_audits,
+    )
+
+
+def dedup_metrics(clusters: DataFrame) -> DataFrame:
+    """Corpus-level dedup ratio — the reference's printed dedup-rate
+    observability (`src/lib.rs:131-135`), relationally."""
+    return clusters.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        (1.0 - F.countDistinct("cluster_id") / F.count("*")).alias("dup_fraction"),
+    )

@@ -1,0 +1,180 @@
+"""End-to-end pipeline tests: cluster recall >= 0.99 vs a brute-force
+oracle at identical config (BASELINE.json criterion), resume-from-
+checkpoint, lineage/metrics shape."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_gd_spark.pipeline import (
+    DedupConfig,
+    dedup_metrics,
+    near_dup_pipeline,
+    reassemble_conversations,
+    with_turn_uid,
+)
+
+
+@pytest.fixture(scope="module")
+def turns_df(transcripts_df):
+    return with_turn_uid(transcripts_df)
+
+
+def _uf_clusters(nodes, pairs):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _cluster_pairs(assign):
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for n, c in assign.items():
+        by[c].append(n)
+    out = set()
+    for mem in by.values():
+        mem.sort()
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                out.add((mem[i], mem[j]))
+    return out
+
+
+def _py_shingles(text, w=5):
+    toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split()
+    if len(toks) < w:
+        return frozenset({" ".join(toks)})
+    return frozenset(" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1))
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(spark, turns_df, small_corpus):
+    """Brute-force O(n²) duplicate pairs at the pipeline's config:
+    exact text == | jaccard >= 0.7 | simhash hamming <= 3 | common
+    substring >= 200. Independent of the pipeline's candidate generation
+    (only gram hashing reuses Spark's xxhash64, by construction identical)."""
+    from rust_gd_spark.operators import simhash as sh
+    from rust_gd_spark.operators.substring import _rolling_hashes
+
+    tr = small_corpus.transcripts
+    uids = (tr.conv_id + ":" + tr.turn_idx.astype(str)).tolist()
+    texts = tr.text.tolist()
+    n = len(uids)
+
+    pairs = set()
+    # exact + jaccard
+    sh_sets = [_py_shingles(t) for t in texts]
+    # simhash fingerprints via the operator's gram hashes (Spark xxhash64)
+    fp_rows = sh.simhash_fingerprints(
+        sh.char_ngram_df(turns_df, "uid", "text", k=8)
+    ).collect()
+    fp = {r.id: np.uint64(r.fp) for r in fp_rows}
+    # substring: 200-gram rolling hash posting lists
+    from collections import defaultdict
+
+    posting = defaultdict(set)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        if len(b) >= 200:
+            for h in set(_rolling_hashes(b, 200).tolist()):
+                posting[h].add(i)
+    sub_cand = set()
+    for ids in posting.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                sub_cand.add((ids[x], ids[y]))
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            dup = texts[i] == texts[j]
+            if not dup:
+                a, b = sh_sets[i], sh_sets[j]
+                inter = len(a & b)
+                if inter and inter / (len(a) + len(b) - inter) >= 0.7:
+                    dup = True
+            if not dup and bin(int(fp[uids[i]]) ^ int(fp[uids[j]])).count("1") <= 3:
+                dup = True
+            if not dup and (i, j) in sub_cand:
+                dup = True
+            if dup:
+                pairs.add(tuple(sorted((uids[i], uids[j]))))
+    return uids, pairs
+
+
+def test_cluster_recall_vs_oracle(spark, turns_df, oracle_pairs, tmp_path):
+    uids, exp_pairs = oracle_pairs
+    res = near_dup_pipeline(turns_df, "uid", "text", DedupConfig())
+    got = {r.id: r.cluster_id for r in res.clusters.collect()}
+    assert set(got) == set(uids)
+
+    exp_assign = _uf_clusters(uids, exp_pairs)
+    exp_cluster_pairs = _cluster_pairs(exp_assign)
+    got_cluster_pairs = _cluster_pairs(got)
+
+    assert exp_cluster_pairs, "oracle must find duplicate pairs"
+    recall = len(exp_cluster_pairs & got_cluster_pairs) / len(exp_cluster_pairs)
+    assert recall >= 0.99, recall
+    # precision guard: verified paths only, so spurious merges must be rare
+    precision = len(exp_cluster_pairs & got_cluster_pairs) / len(got_cluster_pairs)
+    assert precision >= 0.95, precision
+
+
+def test_pipeline_metrics_and_lineage(spark, turns_df):
+    res = near_dup_pipeline(turns_df, "uid", "text")
+    stages = {r.stage for r in res.metrics.collect()}
+    assert {"exact_groups", "shingles", "minhash_pairs", "simhash_pairs",
+            "substring_pairs", "pairs", "clusters"} <= stages
+    lin = res.lineage.groupBy("stage").agg(F.sum("rows").alias("rows")).collect()
+    by_stage = {r.stage: r.rows for r in lin}
+    n = turns_df.count()
+    assert by_stage["clusters"] == n
+    assert by_stage["exact_groups"] == n
+    m = dedup_metrics(res.clusters).collect()[0]
+    assert m.n_rows == n and 0 < m.n_clusters < n and 0 < m.dup_fraction < 1
+
+
+def test_resume_from_checkpoint(spark, turns_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    r1 = near_dup_pipeline(turns_df, "uid", "text", checkpoint_dir=ckpt, run_id="r1")
+    c1 = sorted((r.id, r.cluster_id) for r in r1.clusters.collect())
+    assert not any(r.resumed for r in r1.metrics.collect())
+
+    # delete the LAST two stage commits to simulate a mid-job kill
+    import shutil
+
+    for stage in ("pairs", "clusters"):
+        shutil.rmtree(os.path.join(ckpt, "r1", stage))
+
+    r2 = near_dup_pipeline(turns_df, "uid", "text", checkpoint_dir=ckpt, run_id="r1")
+    c2 = sorted((r.id, r.cluster_id) for r in r2.clusters.collect())
+    assert c1 == c2
+    resumed = {r.stage: r.resumed for r in r2.metrics.collect()}
+    assert resumed["shingles"] and resumed["minhash_pairs"]
+    assert not resumed["pairs"] and not resumed["clusters"]
+
+
+def test_conversation_reassembly_stable_order(spark, transcripts_df):
+    conv = reassemble_conversations(transcripts_df)
+    row = conv.filter(F.col("uid") == "conv-00000000").collect()[0]
+    src = (
+        transcripts_df.filter(F.col("conv_id") == "conv-00000000")
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert row.text == "\n".join(r.text for r in src)
+    assert conv.count() == transcripts_df.select("conv_id").distinct().count()
