@@ -1,0 +1,98 @@
+"""Embedding similarity-search tests: exact brute-force vs numpy oracle;
+hyperplane-LSH near-dup recall on planted duplicates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from rust_gd_spark.operators import embedding as emb
+
+
+def _make_df(spark, M, ids=None):
+    ids = ids if ids is not None else list(range(len(M)))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, M)], schema
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 random 32-d vectors + 30 planted near-dups (cosine >= ~0.95)."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((200, 32))
+    dups, pairs = [], []
+    for j in range(30):
+        src = j * 5
+        noisy = base[src] + 0.12 * rng.standard_normal(32)
+        dups.append(noisy)
+        pairs.append((src, 200 + j))
+    M = np.vstack([base, np.array(dups)])
+    return _make_df(spark, M), M, pairs
+
+
+def test_bruteforce_topk_matches_numpy(spark, planted):
+    df, M, _ = planted
+    got = emb.cosine_topk_bruteforce(df, k=3).collect()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # float32 ingestion: recompute from the stored float values
+    stored = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in df.collect()}
+    ids = sorted(stored)
+    Mn = np.stack([stored[i] for i in ids])
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 6)
+    np.fill_diagonal(S, -2)
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for vid, rows in by_id.items():
+        rows.sort()
+        i = ids.index(vid)
+        order = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))[:3]
+        exp = [(ids[j], S[i, j]) for j in order]
+        assert [(n, c) for _, n, c in rows] == [(n, pytest.approx(c, abs=2e-6)) for n, c in exp], vid
+
+
+def test_lsh_near_dup_recall_on_planted(spark, planted):
+    df, M, pairs = planted
+    got = {(r.id_l, r.id_r) for r in emb.embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    exp = {tuple(sorted(p)) for p in pairs}
+    # drop planted pairs whose actual cosine landed below 0.9
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    exp = {p for p in exp if Mn[p[0]] @ Mn[p[1]] >= 0.901}
+    assert len(exp) >= 20
+    recall = len(got & exp) / len(exp)
+    assert recall >= 0.9, recall
+    # precision is exact by construction (verified cosine)
+    for l, r in got:
+        assert round(float(Mn[l] @ Mn[r]), 4) >= 0.8999
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(spark, planted):
+    df, _, _ = planted
+    lsh = emb.cosine_topk_lsh(df, k=3).collect()
+    brute = emb.cosine_topk_bruteforce(df, k=3).collect()
+    bmap = {(r.id, r.neighbor_id): r.cosine for r in brute}
+    # every LSH hit reports the true cosine
+    whole = {(r.id, r.neighbor_id): r.cosine for r in lsh}
+    sims_brute = emb.cosine_topk_bruteforce(df, k=250).collect()
+    full = {(r.id, r.neighbor_id): r.cosine for r in sims_brute}
+    for key, c in list(whole.items())[:200]:
+        assert key in full and abs(full[key] - c) < 1e-6
+    # rank-1 planted neighbors must be found
+    hit = sum(1 for (i, n), c in whole.items() if c >= 0.9)
+    assert hit >= 30
+
+
+def test_signature_determinism(spark, planted):
+    df, _, _ = planted
+    a = {r.id: r.fp for r in emb.hyperplane_signatures(df, seed=7).collect()}
+    b = {r.id: r.fp for r in emb.hyperplane_signatures(df, seed=7).collect()}
+    c = {r.id: r.fp for r in emb.hyperplane_signatures(df, seed=8).collect()}
+    assert a == b
+    assert a != c
