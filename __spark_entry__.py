@@ -1,38 +1,372 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` — flagship: full near-dup detection + clustering pipeline over the
+sf0.001 documents table.
+
+``queries``/``oracle_sql`` — one entry per implemented operator family
+(SURVEY.md §2). Oracle-checked queries compute bit-identical values in
+DuckDB; genuinely non-SQL-expressible ops (GD round-trip, SimHash/winnowing
+candidate generation, LSH-bucketed ANN, mapInPandas multimodal) have no
+oracle entry → driver records the weaker rows-only check.
+
+Column aliases match between Spark and SQL on every query (driver compares
+sorted-by-name value hashes).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from rust_gd_spark.functions import textstats as ts
+
+SHINGLE_W = 5
+JACCARD_T = 0.5
+TOPK = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _transcripts_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts-shaped table (input_hint schema) derived
+    from documents: conv = doc_id mod 50, turns ordered by doc_id."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % 50).orderBy("doc_id")
+    return d.select(
+        F.format_string("conv-%04d", (F.col("doc_id") % 50).cast("int")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clustering of sf0.001 documents — all four paths
+    (exact / MinHash-LSH / SimHash / winnowing-substring) → connected
+    components → (id, cluster_id)."""
+    from rust_gd_spark.pipeline import DedupConfig, near_dup_pipeline
+
+    docs = _docs(spark, "/root/testdata/sf0.001").select(
+        F.col("doc_id").cast("string").alias("uid"), "text"
+    )
+    res = near_dup_pipeline(
+        docs, "uid", "text",
+        DedupConfig(jaccard_threshold=0.5, min_substring_len=120),
+    )
+    return res.clusters.select(
+        F.col("id").cast("long").alias("doc_id"), F.col("cluster_id")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_exact_dedup(spark, sf_dir):
+    from rust_gd_spark.operators.exactdup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "content_key", "canonical_id", "group_size"
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from rust_gd_spark.operators.minhash import exact_jaccard_pairs
+
+    p = exact_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", w=SHINGLE_W, threshold=JACCARD_T
+    )
+    return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from rust_gd_spark.operators.minhash import minhash_near_dup_pairs
+
+    p = minhash_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", w=SHINGLE_W, threshold=JACCARD_T
+    )
+    return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_text_stats(spark, sf_dir):
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ts.token_count(t).alias("token_cnt"),
+        ts.bpe_ish_token_count(t).alias("bpe_cnt"),
+        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(ts.mean_word_len(t), 6).alias("mean_word_len"),
+    )
+
+
+def _q_quality_lang(spark, sf_dir):
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(ts.quality_score(t), 6).alias("quality"),
+        ts.lang_id(t).alias("lang_guess"),
+        ts.doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _q_dedup_metrics(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.round(1.0 - F.countDistinct(F.md5("text")) / F.count("*"), 6).alias("dup_fraction"),
+    )
+
+
+def _q_embedding_topk(spark, sf_dir):
+    from rust_gd_spark.operators.embedding import cosine_topk_bruteforce
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_bruteforce(e, "vec_id", "embedding", k=TOPK).select(
+        F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_window_reassembly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("event_seq"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_window_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rnk")
+    )
+
+
+def _q_join_agg(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from rust_gd_spark.operators.simhash import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_dist=3)
+
+
+def _q_substring_pairs(spark, sf_dir):
+    from rust_gd_spark.operators.substring import substring_near_dup_pairs
+
+    return substring_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", min_len=120
+    )
+
+
+def _q_embedding_ann_lsh(spark, sf_dir):
+    from rust_gd_spark.operators.embedding import cosine_topk_lsh
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(e, "vec_id", "embedding", k=TOPK).select(
+        F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_gd_roundtrip(spark, sf_dir):
+    from rust_gd_spark.gd.spark import gd_conversation_roundtrip
+
+    tr = _transcripts_from_docs(spark, sf_dir)
+    return gd_conversation_roundtrip(tr, kind="rs", dict_size=255, n=128, k=124).select(
+        "conv_id", "n_turns", "orig_bytes", "roundtrip_ok"
+    )
+
+
+def _q_gd_decompose_metrics(spark, sf_dir):
+    from rust_gd_spark.gd.spark import gd_decompose, gd_dedup_metrics
+
+    tr = _transcripts_from_docs(spark, sf_dir)
+    chunks = gd_decompose(tr, n=128, k=124)
+    return gd_dedup_metrics(chunks, dict_size=255, n=128, k=124)
+
+
+def _q_transcript_clusters(spark, sf_dir):
+    from rust_gd_spark.pipeline import DedupConfig, near_dup_pipeline, with_turn_uid
+
+    tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir))
+    res = near_dup_pipeline(
+        tr, "uid", "text", DedupConfig(jaccard_threshold=0.5, min_substring_len=120)
+    )
+    return res.clusters
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from rust_gd_spark.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(_docs(spark, sf_dir))).select(
+        "asset_id", "kind", "n_bytes", F.round(F.element_at("feature", 98), 6).alias("f_a")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # oracle-checked
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "doc_text_stats": _q_text_stats,
+        "doc_quality_lang": _q_quality_lang,
+        "dedup_ratio_metric": _q_dedup_metrics,
+        "embedding_topk_cosine": _q_embedding_topk,
+        "window_reassembly": _q_window_reassembly,
+        "window_rank": _q_window_rank,
+        "join_agg_segment": _q_join_agg,
+        # rows-only (non-SQL-expressible candidate generation / UDF plumbing)
+        "simhash_pairs": _q_simhash_pairs,
+        "substring_pairs": _q_substring_pairs,
+        "embedding_ann_lsh": _q_embedding_ann_lsh,
+        "gd_roundtrip": _q_gd_roundtrip,
+        "gd_decompose_metrics": _q_gd_decompose_metrics,
+        "transcript_clusters": _q_transcript_clusters,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+_SHINGLES = (
+    f"case when len({_TOKS}) >= {SHINGLE_W} then "
+    f"list_transform(range(0, len({_TOKS}) - {SHINGLE_W} + 1), "
+    f"i -> array_to_string(list_slice({_TOKS}, i + 1, i + {SHINGLE_W}), ' ')) "
+    f"else [coalesce(array_to_string({_TOKS}, ' '), '')] end"
+)
+
+_JACCARD_SQL = f"""
+with sh as (
+  select doc_id, unnest({_SHINGLES}) as s from documents
+),
+d as (select distinct doc_id, s from sh),
+sizes as (select doc_id, count(*) as n from d group by doc_id),
+common as (
+  select l.doc_id as id_l, r.doc_id as id_r, count(*) as c
+  from d l join d r on l.s = r.s and l.doc_id < r.doc_id
+  group by 1, 2
+)
+select c.id_l, c.id_r,
+       round(c.c::double / (sl.n + sr.n - c.c), 6) as jaccard
+from common c
+join sizes sl on sl.doc_id = c.id_l
+join sizes sr on sr.doc_id = c.id_r
+where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
+"""
+
+_EMB_TOPK_SQL = f"""
+with n as (
+  select vec_id,
+         list_transform(embedding, x -> x::double /
+           sqrt(list_sum(list_transform(embedding, y -> y::double * y::double))))
+           as v
+  from embeddings
+),
+sims as (
+  select l.vec_id as vec_id, r.vec_id as neighbor_id,
+         round(list_sum(list_transform(range(1, len(l.v) + 1),
+               i -> l.v[i] * r.v[i])), 6) as cosine
+  from n l join n r on l.vec_id <> r.vec_id
+)
+select vec_id, neighbor_id, cosine,
+       row_number() over (partition by vec_id order by cosine desc, neighbor_id) as rank
+from sims
+qualify rank <= {TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            select doc_id, md5(text) as content_key,
+                   min(doc_id) over (partition by md5(text)) as canonical_id,
+                   count(*) over (partition by md5(text)) as group_size
+            from documents
+        """,
+        "ngram_jaccard_pairs": _JACCARD_SQL,
+        "minhash_lsh_pairs": _JACCARD_SQL,
+        "doc_text_stats": f"""
+            select doc_id,
+                   {ts.token_count_sql('text')} as token_cnt,
+                   {ts.bpe_ish_token_count_sql('text')} as bpe_cnt,
+                   round({ts.punct_ratio_sql('text')}, 6) as punct_ratio,
+                   round({ts.stopword_ratio_sql('text')}, 6) as stopword_ratio,
+                   round({ts.mean_word_len_sql('text')}, 6) as mean_word_len
+            from documents
+        """,
+        "doc_quality_lang": f"""
+            select doc_id,
+                   round({ts.quality_score_sql('text')}, 6) as quality,
+                   {ts.lang_id_sql('text')} as lang_guess,
+                   {ts.doc_fingerprint_sql('text')} as fingerprint
+            from documents
+        """,
+        "dedup_ratio_metric": """
+            select count(*) as n_rows,
+                   count(distinct md5(text)) as n_distinct,
+                   round(1.0 - count(distinct md5(text))::double / count(*), 6)
+                     as dup_fraction
+            from documents
+        """,
+        "embedding_topk_cosine": _EMB_TOPK_SQL,
+        "window_reassembly": """
+            select user_id,
+                   string_agg(event_type, ',' order by ts, event_id) as event_seq,
+                   count(*) as n_events
+            from events group by user_id
+        """,
+        "window_rank": """
+            select user_id, event_id, round(value, 6) as value,
+                   row_number() over (partition by user_id
+                                      order by value desc, event_id) as rnk
+            from events qualify rnk <= 3
+        """,
+        "join_agg_segment": """
+            select c_mktsegment,
+                   count(*) as n_orders,
+                   round(sum(o_totalprice), 2) as total_price
+            from orders join customer on o_custkey = c_custkey
+            group by c_mktsegment
+        """,
+    }
