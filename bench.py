@@ -1,0 +1,98 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": "dedup_throughput_rows_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+The headline metric is the BASELINE.json target: rows(turns)/sec through
+the full near-dup detection + clustering pipeline. Per-query timings cover
+each operator family so regressions are attributable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _force(df) -> int:
+    """Execute fully; cheap driver-side result."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from rust_gd_spark.session import get_spark
+
+    spark = get_spark(app_name="rust_gd_spark_bench", cores=cpus)
+
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # also warms the JVM/scan path
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    q = entrymod.queries()
+    timed("exact_dedup", lambda: _force(q["exact_dedup"](spark, sf_dir)))
+    timed("minhash_lsh_pairs", lambda: _force(q["minhash_lsh_pairs"](spark, sf_dir)))
+    timed("simhash_pairs", lambda: _force(q["simhash_pairs"](spark, sf_dir)))
+    timed("substring_pairs", lambda: _force(q["substring_pairs"](spark, sf_dir)))
+    timed("doc_text_stats", lambda: _force(q["doc_text_stats"](spark, sf_dir)))
+    timed("doc_quality_lang", lambda: _force(q["doc_quality_lang"](spark, sf_dir)))
+    timed("embedding_topk_cosine", lambda: _force(q["embedding_topk_cosine"](spark, sf_dir)))
+    timed("embedding_ann_lsh", lambda: _force(q["embedding_ann_lsh"](spark, sf_dir)))
+    timed("window_reassembly", lambda: _force(q["window_reassembly"](spark, sf_dir)))
+    timed("window_rank", lambda: _force(q["window_rank"](spark, sf_dir)))
+    timed("join_agg_segment", lambda: _force(q["join_agg_segment"](spark, sf_dir)))
+    timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
+    timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
+    timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))
+
+    # headline: full pipeline over the documents corpus
+    t0 = time.monotonic()
+    _force(q["transcript_clusters"](spark, sf_dir))
+    pipeline_sec = time.monotonic() - t0
+    timings["near_dup_pipeline"] = round(pipeline_sec, 3)
+
+    throughput = n_docs / pipeline_sec if pipeline_sec > 0 else 0.0
+    total = round(sum(timings.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "near_dup_pipeline_sec",
+                "value": round(pipeline_sec, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows": n_docs,
+                "throughput_rows_per_sec": round(throughput, 1),
+                "total_sec": total,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
