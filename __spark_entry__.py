@@ -27,7 +27,9 @@ TOPK = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from rust_gd_spark.session import ensure_min_partitions
+
+    return ensure_min_partitions(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _transcripts_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,15 +137,18 @@ def _q_dedup_metrics(spark, sf_dir):
 
 def _q_embedding_topk(spark, sf_dir):
     from rust_gd_spark.operators.embedding import cosine_topk_bruteforce
+    from rust_gd_spark.session import ensure_min_partitions
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cosine_topk_bruteforce(e, "vec_id", "embedding", k=TOPK).select(
         F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
     )
 
 
 def _q_window_reassembly(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from rust_gd_spark.session import ensure_min_partitions
+
+    ev = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return ev.groupBy("user_id").agg(
         F.array_join(
             F.transform(
@@ -197,8 +202,9 @@ def _q_substring_pairs(spark, sf_dir):
 
 def _q_embedding_ann_lsh(spark, sf_dir):
     from rust_gd_spark.operators.embedding import cosine_topk_lsh
+    from rust_gd_spark.session import ensure_min_partitions
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cosine_topk_lsh(e, "vec_id", "embedding", k=TOPK).select(
         F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
     )

@@ -46,24 +46,61 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact ``(id, neighbor_id, cosine, rank)`` — top-k per vector.
 
+    Execution: the neighbor side is materialized once on the driver and
+    captured in the UDF closure (the distributed analogue: broadcast the
+    QUERY set — same memory contract as Spark's own broadcast join); the
+    probe side streams through ``mapInPandas``, one numpy matmul per Arrow
+    batch instead of 25M Catalyst expression folds. Top-k happens inside
+    the batch — only k rows per vector ever cross back, no global window.
+
     Deterministic ordering: (round(cosine,6) desc, neighbor_id asc) so
     floating-point dust cannot reorder ties across engines.
     """
-    n = l2_normalize(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("vnorm")
+    import pandas as _pd
+
+    n = l2_normalize(df, vec_col).select(F.col(id_col).alias("id"), F.col("vnorm"))
+    ref = n.toPandas()
+    ref_ids = ref["id"].to_numpy()
+    R = np.stack(ref["vnorm"].to_numpy()).astype(np.float64)  # (m, d)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("neighbor_id", df.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
     )
-    l = n.select(F.col("id"), F.col("vnorm").alias("v_l"))
-    r = n.select(F.col("id").alias("neighbor_id"), F.col("vnorm").alias("v_r"))
-    sims = (
-        l.join(F.broadcast(r), F.col("id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("v_l", "v_r"), 6))
-        .select("id", "neighbor_id", "cosine")
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            L = np.stack(pdf["vnorm"].to_numpy()).astype(np.float64)
+            S = np.round(L @ R.T, 6)  # (b, m)
+            ids_l = pdf["id"].to_numpy()
+            # exclude self matches
+            self_mask = ids_l[:, None] == ref_ids[None, :]
+            S[self_mask] = -np.inf
+            rows_id, rows_nb, rows_c, rows_r = [], [], [], []
+            for bi in range(S.shape[0]):
+                s = S[bi]
+                # top-k by (-cosine, neighbor_id): lexsort keys last = primary
+                idx = np.lexsort((ref_ids, -s))[:k]
+                rows_id.extend([ids_l[bi]] * len(idx))
+                rows_nb.extend(ref_ids[idx].tolist())
+                rows_c.extend(s[idx].tolist())
+                rows_r.extend(range(1, len(idx) + 1))
+            yield _pd.DataFrame(
+                {
+                    "id": rows_id,
+                    "neighbor_id": rows_nb,
+                    "cosine": rows_c,
+                    "rank": _pd.Series(rows_r, dtype="int32"),
+                }
+            )
+
+    return n.mapInPandas(run, schema=out_schema)
 
 
 def hyperplane_signatures(

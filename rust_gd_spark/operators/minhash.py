@@ -104,24 +104,36 @@ def minhash_signatures(
     a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
 
+    from ._vectorize import iter_segments
+
+    _BUDGET = 1 << 16
+    scratch: dict = {}
+
+    def _buf(n: int) -> np.ndarray:
+        # Reused across Arrow batches (python workers are long-lived):
+        # fresh large allocations page-fault at ~30 MB/s in sandboxed
+        # containers, reuse runs at memory bandwidth.
+        buf = scratch.get("v")
+        if buf is None or buf.shape[0] < n:
+            buf = np.empty((max(n, _BUDGET), num_perm), dtype=np.uint64)
+            scratch["v"] = buf
+        return buf[:n]
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(col: pd.Series) -> pd.Series:
-        out = []
-        for hs in col:
-            if hs is None or len(hs) == 0:
-                out.append(np.full(num_perm, np.int64(_MAX_HASH)).tolist())
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # (n_shingles, num_perm) lazily via outer ops; mod 2^64 wrap is
-            # fine as an intermediate because we reduce mod p afterwards on
-            # the product term only if exact CRT needed — here we use the
-            # standard 2^61-1 trick: (a*h + b) mod p with 128-bit emulation
-            # avoided by doing the multiply in python ints is too slow, so
-            # we accept mod-2^64 multiply and fold: still a uniform,
-            # deterministic hash family (not the textbook one, but fixed).
-            v = (h[:, None] * a[None, :] + b[None, :]) & _MAX_HASH
-            out.append(v.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+        # Segment-vectorized in bounded chunks: (chunk_shingles × num_perm)
+        # hash matrix + np.minimum.reduceat — no per-row Python loop, no
+        # per-batch gigabyte allocations. The multiply wraps mod 2^64 then
+        # masks to 61 bits: not the textbook (a·h+b) mod p family, but a
+        # fixed, uniform, deterministic one — all MinHash needs.
+        out_rows = np.full((len(col), num_perm), np.int64(_MAX_HASH), dtype=np.int64)
+        for idx, flat, starts in iter_segments(col, budget=_BUDGET):
+            v = _buf(len(flat))
+            np.multiply(flat.astype(np.uint64)[:, None], a[None, :], out=v)
+            np.add(v, b[None, :], out=v)
+            np.bitwise_and(v, _MAX_HASH, out=v)
+            out_rows[idx] = np.minimum.reduceat(v, starts, axis=0).astype(np.int64)
+        return pd.Series(list(out_rows))
 
     return shingles.select("id", sig_udf("shingles").alias("sig"))
 
@@ -155,7 +167,16 @@ def lsh_candidate_pairs(
         "bucket_size",
         F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
     )
-    ok = sized.filter(F.col("bucket_size") <= max_bucket_size).drop("bucket_size")
+    # persist: the self-join scans this subtree TWICE (l and r sides);
+    # without it the signature UDF upstream is recomputed per side.
+    # MEMORY_AND_DISK so a 100×-bigger band table spills instead of OOMing.
+    from pyspark import StorageLevel
+
+    ok = (
+        sized.filter(F.col("bucket_size") <= max_bucket_size)
+        .drop("bucket_size")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     skew_audit = (
         sized.filter(F.col("bucket_size") > max_bucket_size)
         .groupBy("band_idx", "band_hash")
@@ -213,7 +234,10 @@ def minhash_near_dup_pairs(
 
     With (bands=32, rows=4): P[miss | J=0.8] = (1 - 0.8^4)^32 ≈ 5e-8.
     """
-    sh = shingle_df(df, id_col, text_col, w=w)
+    from pyspark import StorageLevel
+
+    # shingles feed three consumers (signatures + both verify sides)
+    sh = shingle_df(df, id_col, text_col, w=w).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
     bandsdf = lsh_bands(sig, bands=bands, rows=rows)
     pairs, _ = lsh_candidate_pairs(bandsdf, max_bucket_size=max_bucket_size)

@@ -54,20 +54,38 @@ def simhash_fingerprints(grams_df: DataFrame) -> DataFrame:
     One vectorized pandas UDF; per row an (n_grams × 64) bit tally in numpy.
     """
 
+    from ._vectorize import iter_segments
+
+    _BUDGET = 1 << 17
+    scratch: dict = {}
+
+    def _buf(n: int) -> np.ndarray:
+        # Reused across Arrow batches — fresh large allocations page-fault
+        # at ~30 MB/s in sandboxed containers, reuse runs at bandwidth.
+        buf = scratch.get("bits")
+        if buf is None or buf.shape[0] < n:
+            buf = np.empty((max(n, _BUDGET), 64), dtype=np.uint64)
+            scratch["bits"] = buf
+        return buf[:n]
+
     @F.pandas_udf(T.LongType())
     def fp_udf(col: pd.Series) -> pd.Series:
+        # Segment-vectorized in bounded chunks: unpack gram hashes to a
+        # (chunk × 64) bit matrix, tally per row with np.add.reduceat —
+        # no per-row Python loop, bounded + reused memory.
         shifts = np.arange(64, dtype=np.uint64)
         out = np.zeros(len(col), dtype=np.int64)
-        for i, hs in enumerate(col):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-            ones = bits.sum(axis=0)
-            fp = np.uint64(0)
-            fp_bits = (2 * ones > len(h)).astype(np.uint64)
-            fp = (fp_bits << shifts).sum(dtype=np.uint64)
-            out[i] = fp.astype(np.int64)
+        for idx, flat, starts in iter_segments(col, budget=_BUDGET):
+            u = flat.astype(np.uint64)
+            bits = _buf(len(flat))
+            np.right_shift(u[:, None], shifts[None, :], out=bits)
+            np.bitwise_and(bits, np.uint64(1), out=bits)
+            ones = np.add.reduceat(bits, starts, axis=0)
+            seg_lens = np.diff(np.append(starts, len(flat)))
+            fp_bits = (2 * ones > seg_lens[:, None]).astype(np.uint64)
+            out[idx] = (
+                (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
+            )
         return pd.Series(out)
 
     return grams_df.select("id", fp_udf("grams").alias("fp"))
@@ -100,10 +118,17 @@ def simhash_candidate_pairs(
     Buckets above ``max_bucket_size`` are excluded and audited (never
     silently dropped) — same skew guard as the MinHash path.
     """
+    from pyspark import StorageLevel
+
     sized = bands_df.withColumn(
         "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_val"))
     )
-    ok = sized.filter(F.col("bucket_size") <= max_bucket_size).drop("bucket_size")
+    # persist: both self-join sides scan this subtree (fingerprint UDF)
+    ok = (
+        sized.filter(F.col("bucket_size") <= max_bucket_size)
+        .drop("bucket_size")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     audit = (
         sized.filter(F.col("bucket_size") > max_bucket_size)
         .groupBy("band_idx", "band_val")

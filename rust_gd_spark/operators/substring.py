@@ -94,11 +94,18 @@ def substring_candidate_pairs(
     Fingerprints present in more than ``max_posting_size`` docs are
     excluded + audited (boilerplate guard, same policy as LSH bands).
     """
+    from pyspark import StorageLevel
+
     posting = fps.select("id", F.explode("fps").alias("fp"))
     sized = posting.withColumn(
         "posting_size", F.count("*").over(Window.partitionBy("fp"))
     )
-    ok = sized.filter(F.col("posting_size") <= max_posting_size).drop("posting_size")
+    # persist: both self-join sides scan this subtree (winnow UDF)
+    ok = (
+        sized.filter(F.col("posting_size") <= max_posting_size)
+        .drop("posting_size")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     audit = (
         sized.filter(F.col("posting_size") > max_posting_size)
         .groupBy("fp")

@@ -50,3 +50,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_min_partitions(df, min_parts: int | None = None):
+    """Round-robin repartition iff the plan is under-partitioned.
+
+    Small local parquet files arrive as ONE split (a single row group is
+    unsplittable), serializing every downstream stage; on a real cluster
+    the scan has thousands of splits and this is a no-op. Call at load
+    boundaries, not per-operator.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
