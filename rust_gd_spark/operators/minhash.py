@@ -167,15 +167,14 @@ def lsh_candidate_pairs(
         "bucket_size",
         F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
     )
-    # persist: the self-join scans this subtree TWICE (l and r sides);
-    # without it the signature UDF upstream is recomputed per side.
-    # MEMORY_AND_DISK so a 100×-bigger band table spills instead of OOMing.
-    from pyspark import StorageLevel
-
+    # eager localCheckpoint: the self-join scans this subtree TWICE (l and
+    # r sides); lazy persist() lets the two sides race and double-compute
+    # the signature UDF. Eager materialization runs it exactly once (on a
+    # real cluster: reliable checkpoint / Iceberg stage table).
     ok = (
         sized.filter(F.col("bucket_size") <= max_bucket_size)
         .drop("bucket_size")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     skew_audit = (
         sized.filter(F.col("bucket_size") > max_bucket_size)
@@ -234,13 +233,14 @@ def minhash_near_dup_pairs(
 
     With (bands=32, rows=4): P[miss | J=0.8] = (1 - 0.8^4)^32 ≈ 5e-8.
     """
-    from pyspark import StorageLevel
-
-    # shingles feed three consumers (signatures + both verify sides)
-    sh = shingle_df(df, id_col, text_col, w=w).persist(StorageLevel.MEMORY_AND_DISK)
+    # shingles feed three consumers (signatures + both verify sides);
+    # eager materialization computes the shingling exactly once.
+    sh = shingle_df(df, id_col, text_col, w=w).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
     bandsdf = lsh_bands(sig, bands=bands, rows=rows)
     pairs, _ = lsh_candidate_pairs(bandsdf, max_bucket_size=max_bucket_size)
+    # materialize the (small) candidate table before the verify joins
+    pairs = pairs.localCheckpoint(eager=True)
     return verify_jaccard(pairs, sh, threshold=threshold)
 
 

@@ -118,16 +118,15 @@ def simhash_candidate_pairs(
     Buckets above ``max_bucket_size`` are excluded and audited (never
     silently dropped) — same skew guard as the MinHash path.
     """
-    from pyspark import StorageLevel
-
     sized = bands_df.withColumn(
         "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_val"))
     )
-    # persist: both self-join sides scan this subtree (fingerprint UDF)
+    # eager localCheckpoint: both self-join sides scan this subtree
+    # (fingerprint UDF); lazy persist would double-compute it.
     ok = (
         sized.filter(F.col("bucket_size") <= max_bucket_size)
         .drop("bucket_size")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     audit = (
         sized.filter(F.col("bucket_size") > max_bucket_size)

@@ -94,17 +94,16 @@ def substring_candidate_pairs(
     Fingerprints present in more than ``max_posting_size`` docs are
     excluded + audited (boilerplate guard, same policy as LSH bands).
     """
-    from pyspark import StorageLevel
-
     posting = fps.select("id", F.explode("fps").alias("fp"))
     sized = posting.withColumn(
         "posting_size", F.count("*").over(Window.partitionBy("fp"))
     )
-    # persist: both self-join sides scan this subtree (winnow UDF)
+    # eager localCheckpoint: both self-join sides scan this subtree
+    # (winnow UDF); lazy persist would double-compute it.
     ok = (
         sized.filter(F.col("posting_size") <= max_posting_size)
         .drop("posting_size")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     audit = (
         sized.filter(F.col("posting_size") > max_posting_size)
@@ -121,34 +120,73 @@ def substring_candidate_pairs(
     return pairs, audit
 
 
+class _HashLevels:
+    """Sparse doubling table of polynomial window hashes.
+
+    ``levels[j][i]`` = hash of the 2^j-byte window at ``i``; built with
+    O(log n) vectorized passes. ``window_hashes(L)`` then combines the set
+    bits of L (h(x∥y) = h(x)·B^len(y) + h(y), mod-2^64 wrap) in O(popcount)
+    passes — so every binary-search probe in the LCS verify is O(log) numpy
+    dispatches instead of the O(L) passes a naive rolling hash costs.
+    """
+
+    __slots__ = ("n", "levels", "pows")
+
+    def __init__(self, data: bytes):
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        self.n = len(b)
+        self.levels = [b]
+        self.pows = [_B]
+        while (1 << len(self.levels)) <= self.n:
+            k = 1 << (len(self.levels) - 1)
+            prev, p = self.levels[-1], self.pows[-1]
+            self.levels.append(prev[: len(prev) - k] * p + prev[k:])
+            self.pows.append(np.uint64((int(p) * int(p)) & 0xFFFFFFFFFFFFFFFF))
+
+    def window_hashes(self, L: int) -> np.ndarray | None:
+        """Hashes of every L-byte window, or None if L > n."""
+        if L <= 0 or L > self.n:
+            return None
+        m = self.n - L + 1
+        acc: np.ndarray | None = None
+        offset = 0
+        for j in range(len(self.levels) - 1, -1, -1):
+            if (L >> j) & 1:
+                piece = self.levels[j][offset : offset + m]
+                acc = piece.copy() if acc is None else acc * self.pows[j] + piece
+                offset += 1 << j
+        return acc
+
+
 def _lcs_length_ge(a: bytes, b: bytes, min_len: int) -> int:
     """Longest common substring length if ≥ min_len else 0.
 
-    Binary search over length L with rolling-hash set intersection —
-    O((|a|+|b|)·log) per pair; 64-bit hashes make collisions negligible,
-    and the final candidate is confirmed byte-exactly.
+    Binary search over length L with hash-set intersection; the doubling
+    tables are built once per pair and reused by every probe. 64-bit hashes
+    make collisions negligible, and each candidate is confirmed byte-exactly.
     """
+    if min_len <= 0 or min(len(a), len(b)) < min_len:
+        return 0
+    la, lb = _HashLevels(a), _HashLevels(b)
 
-    def common_at(L: int) -> tuple[bytes, bytes] | None:
-        if L > len(a) or L > len(b):
-            return None
-        ha = _rolling_hashes(a, L)
-        hb = _rolling_hashes(b, L)
-        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
-        if len(common) == 0:
-            return None
-        # byte-exact confirmation of one witness
+    def common_at(L: int) -> bool:
+        ha = la.window_hashes(L)
+        hb = lb.window_hashes(L)
+        if ha is None or hb is None:
+            return False
+        _, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        # byte-exact confirmation of a witness
         for x, y in zip(ia[:8], ib[:8]):
             if a[x : x + L] == b[y : y + L]:
-                return a[x : x + L], b[y : y + L]
-        return None
+                return True
+        return False
 
-    if common_at(min_len) is None:
+    if not common_at(min_len):
         return 0
     lo, hi = min_len, min(len(a), len(b))
     while lo < hi:
         mid = (lo + hi + 1) // 2
-        if common_at(mid) is not None:
+        if common_at(mid):
             lo = mid
         else:
             hi = mid - 1
@@ -208,4 +246,6 @@ def substring_near_dup_pairs(
     assert k + w - 1 <= min_len
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     pairs, _ = substring_candidate_pairs(fps, max_posting_size=max_posting_size)
+    # materialize the (small) candidate table before the verify joins
+    pairs = pairs.localCheckpoint(eager=True)
     return verify_common_substring(pairs, df, id_col, text_col, min_len=min_len)

