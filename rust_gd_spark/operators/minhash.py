@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 MERSENNE_P = (1 << 61) - 1
 _MAX_HASH = np.uint64((1 << 61) - 1)
@@ -106,7 +106,7 @@ def minhash_signatures(
 
     from ._vectorize import iter_segments
 
-    _BUDGET = 1 << 16
+    _BUDGET = 1 << 11  # 2048 shingles x 128 perms x 8B = 2 MB, cache-resident
     scratch: dict = {}
 
     def _buf(n: int) -> np.ndarray:
@@ -155,41 +155,23 @@ def lsh_bands(signatures: DataFrame, bands: int = 32, rows: int = 4) -> DataFram
 def lsh_candidate_pairs(
     bands_df: DataFrame, max_bucket_size: int = 2000
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join on band keys → distinct candidate pairs (id_l < id_r).
+    """Bucket pairs on (band_idx, band_hash) → distinct pairs (id_l < id_r).
 
-    Returns ``(pairs, skew_audit)``; buckets with more than
-    ``max_bucket_size`` members are excluded from the O(m²) pair expansion
-    and reported in ``skew_audit(band_idx, band_hash, bucket_size)`` —
-    never dropped silently. A 2000-member bucket alone would emit 2M pairs;
-    at 10^12 turns that is the difference between a job and an outage.
+    ONE shuffle (groupBy band key + in-bucket pair explosion, see
+    ``_buckets.bucket_pairs``) instead of window-count + self-join — the
+    posting table is shuffled once, not three times. Returns
+    ``(pairs, skew_audit)``; buckets with more than ``max_bucket_size``
+    members are excluded from the O(m²) expansion and reported in
+    ``skew_audit(band_idx, band_hash, bucket_size)`` — never dropped
+    silently. A 2000-member bucket alone would emit 2M pairs; at 10^12
+    turns that is the difference between a job and an outage.
     """
-    sized = bands_df.withColumn(
-        "bucket_size",
-        F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
+    from ._buckets import bucket_pairs
+
+    raw, audit = bucket_pairs(
+        bands_df, ["band_idx", "band_hash"], max_bucket_size=max_bucket_size
     )
-    # eager localCheckpoint: the self-join scans this subtree TWICE (l and
-    # r sides); lazy persist() lets the two sides race and double-compute
-    # the signature UDF. Eager materialization runs it exactly once (on a
-    # real cluster: reliable checkpoint / Iceberg stage table).
-    ok = (
-        sized.filter(F.col("bucket_size") <= max_bucket_size)
-        .drop("bucket_size")
-        .localCheckpoint(eager=True)
-    )
-    skew_audit = (
-        sized.filter(F.col("bucket_size") > max_bucket_size)
-        .groupBy("band_idx", "band_hash")
-        .agg(F.count("*").alias("bucket_size"))
-    )
-    l = ok.alias("l")
-    r = ok.alias("r")
-    pairs = (
-        l.join(r, ["band_idx", "band_hash"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_l"), F.col("r.id").alias("id_r"))
-        .dropDuplicates(["id_l", "id_r"])
-    )
-    return pairs, skew_audit
+    return raw.dropDuplicates(["id_l", "id_r"]), audit
 
 
 def verify_jaccard(

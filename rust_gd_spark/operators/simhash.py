@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def char_ngram_df(
@@ -56,31 +56,22 @@ def simhash_fingerprints(grams_df: DataFrame) -> DataFrame:
 
     from ._vectorize import iter_segments
 
-    _BUDGET = 1 << 17
-    scratch: dict = {}
-
-    def _buf(n: int) -> np.ndarray:
-        # Reused across Arrow batches — fresh large allocations page-fault
-        # at ~30 MB/s in sandboxed containers, reuse runs at bandwidth.
-        buf = scratch.get("bits")
-        if buf is None or buf.shape[0] < n:
-            buf = np.empty((max(n, _BUDGET), 64), dtype=np.uint64)
-            scratch["bits"] = buf
-        return buf[:n]
+    _BUDGET = 1 << 14  # 16k grams x 64 u8 = 1 MB bit matrix, cache-resident
 
     @F.pandas_udf(T.LongType())
     def fp_udf(col: pd.Series) -> pd.Series:
-        # Segment-vectorized in bounded chunks: unpack gram hashes to a
-        # (chunk × 64) bit matrix, tally per row with np.add.reduceat —
-        # no per-row Python loop, bounded + reused memory.
+        # Segment-vectorized in bounded chunks: unpackbits the gram hashes
+        # into a (chunk × 64) uint8 bit matrix (8× less memory traffic than
+        # a uint64 shift matrix — this kernel is bandwidth-bound), tally per
+        # row with np.add.reduceat. No per-row Python loop.
         shifts = np.arange(64, dtype=np.uint64)
         out = np.zeros(len(col), dtype=np.int64)
         for idx, flat, starts in iter_segments(col, budget=_BUDGET):
             u = flat.astype(np.uint64)
-            bits = _buf(len(flat))
-            np.right_shift(u[:, None], shifts[None, :], out=bits)
-            np.bitwise_and(bits, np.uint64(1), out=bits)
-            ones = np.add.reduceat(bits, starts, axis=0)
+            bits = np.unpackbits(
+                u.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )  # little-endian: column j == bit j of the hash
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
             seg_lens = np.diff(np.append(starts, len(flat)))
             fp_bits = (2 * ones > seg_lens[:, None]).astype(np.uint64)
             out[idx] = (
@@ -113,39 +104,22 @@ def simhash_bands(fp_df: DataFrame, bands: int = 4) -> DataFrame:
 def simhash_candidate_pairs(
     bands_df: DataFrame, max_bucket_size: int = 2000
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join on (band_idx, band_val) → candidate pairs carrying both fps.
+    """Bucket pairs on (band_idx, band_val) carrying both fps.
 
-    Buckets above ``max_bucket_size`` are excluded and audited (never
-    silently dropped) — same skew guard as the MinHash path.
+    16-bit band values collide by chance at a rate quadratic in corpus
+    size, so the raw pair stream is NOT deduplicated here — the cheap
+    JVM-side Hamming filter in ``verify_hamming`` runs first and the dedup
+    shuffle sees only survivors. ONE shuffle of the band table
+    (``_buckets.bucket_pairs``); oversized buckets are excluded + audited.
     """
-    sized = bands_df.withColumn(
-        "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    from ._buckets import bucket_pairs
+
+    return bucket_pairs(
+        bands_df,
+        ["band_idx", "band_val"],
+        payload_cols=["fp"],
+        max_bucket_size=max_bucket_size,
     )
-    # eager localCheckpoint: both self-join sides scan this subtree
-    # (fingerprint UDF); lazy persist would double-compute it.
-    ok = (
-        sized.filter(F.col("bucket_size") <= max_bucket_size)
-        .drop("bucket_size")
-        .localCheckpoint(eager=True)
-    )
-    audit = (
-        sized.filter(F.col("bucket_size") > max_bucket_size)
-        .groupBy("band_idx", "band_val")
-        .agg(F.count("*").alias("bucket_size"))
-    )
-    l, r = ok.alias("l"), ok.alias("r")
-    pairs = (
-        l.join(r, ["band_idx", "band_val"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_l"),
-            F.col("r.id").alias("id_r"),
-            F.col("l.fp").alias("fp_l"),
-            F.col("r.fp").alias("fp_r"),
-        )
-        .dropDuplicates(["id_l", "id_r"])
-    )
-    return pairs, audit
 
 
 def verify_hamming(pairs: DataFrame, max_dist: int = 3) -> DataFrame:
@@ -157,6 +131,7 @@ def verify_hamming(pairs: DataFrame, max_dist: int = 3) -> DataFrame:
         pairs.withColumn("hamming_dist", dist)
         .filter(F.col("hamming_dist") <= max_dist)
         .select("id_l", "id_r", "hamming_dist")
+        .dropDuplicates(["id_l", "id_r"])
     )
 
 

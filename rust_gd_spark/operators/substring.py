@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 _B = np.uint64(1_000_003)  # rolling-hash base (mod 2^64 natural wrap)
 
@@ -89,35 +89,17 @@ def winnow_fingerprints(
 def substring_candidate_pairs(
     fps: DataFrame, max_posting_size: int = 2000
 ) -> tuple[DataFrame, DataFrame]:
-    """Inverted-index self-join on shared fingerprints → distinct pairs.
+    """Inverted-index bucket pairs on shared fingerprints → distinct pairs.
 
+    ONE shuffle of the posting table (``_buckets.bucket_pairs``).
     Fingerprints present in more than ``max_posting_size`` docs are
     excluded + audited (boilerplate guard, same policy as LSH bands).
     """
+    from ._buckets import bucket_pairs
+
     posting = fps.select("id", F.explode("fps").alias("fp"))
-    sized = posting.withColumn(
-        "posting_size", F.count("*").over(Window.partitionBy("fp"))
-    )
-    # eager localCheckpoint: both self-join sides scan this subtree
-    # (winnow UDF); lazy persist would double-compute it.
-    ok = (
-        sized.filter(F.col("posting_size") <= max_posting_size)
-        .drop("posting_size")
-        .localCheckpoint(eager=True)
-    )
-    audit = (
-        sized.filter(F.col("posting_size") > max_posting_size)
-        .groupBy("fp")
-        .agg(F.count("*").alias("posting_size"))
-    )
-    l, r = ok.alias("l"), ok.alias("r")
-    pairs = (
-        l.join(r, "fp")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_l"), F.col("r.id").alias("id_r"))
-        .dropDuplicates(["id_l", "id_r"])
-    )
-    return pairs, audit
+    raw, audit = bucket_pairs(posting, ["fp"], max_bucket_size=max_posting_size)
+    return raw.dropDuplicates(["id_l", "id_r"]), audit
 
 
 class _HashLevels:

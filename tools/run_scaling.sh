@@ -7,6 +7,8 @@ cd "$(dirname "$0")/.."
 
 N_CONV="${1:-5000}"
 TURNS="${2:-20}"
+N_SMALL="${3:-4}"
+N_BIG="${4:-16}"
 SCRATCH=.scratch/scaling_${N_CONV}x${TURNS}
 RESULTS="$SCRATCH/results.jsonl"
 
@@ -18,9 +20,13 @@ if [ ! -f "$SCRATCH/transcripts.parquet" ]; then
   python tools/gen_transcripts.py --n-conv "$N_CONV" --turns "$TURNS" --out "$SCRATCH"
 fi
 
-for CORES in 8 32; do
-  echo "=== spark-submit local[$CORES] ==="
-  spark-submit \
+for CORES in "$N_SMALL" "$N_BIG"; do
+  echo "=== spark-submit local[$CORES] (pinned to $CORES cpus) ==="
+  # taskset pins the WHOLE process tree (JVM + python UDF workers) to the
+  # leg's core budget — in unpinned local mode the python workers of the
+  # "8-core" leg silently borrow extra machine cores, inflating T_N and
+  # understating the true N→4N efficiency.
+  taskset -c "0-$((CORES - 1))" spark-submit \
     --master "local[$CORES]" \
     --driver-memory 24g \
     --py-files dist/rust_gd_spark.zip \
@@ -28,15 +34,16 @@ for CORES in 8 32; do
     --data "$SCRATCH" --cores "$CORES" --out "$RESULTS" 2>/dev/null
 done
 
-python - "$RESULTS" <<'EOF'
+python - "$RESULTS" "$N_SMALL" "$N_BIG" <<'EOF'
 import json, sys
 rows = [json.loads(l) for l in open(sys.argv[1])]
 by = {r["cores"]: r for r in rows}
-t8, t32 = by[8]["value"], by[32]["value"]
-eff = t32 / (4 * t8)
+n, m = int(sys.argv[2]), int(sys.argv[3])
+tn, tm = by[n]["value"], by[m]["value"]
+eff = tn and tm / ((m / n) * tn)
 print(json.dumps({
-    "throughput_8": t8, "throughput_32": t32,
-    "scaling_efficiency_8_to_32": round(eff, 3),
+    f"throughput_{n}": tn, f"throughput_{m}": tm,
+    f"scaling_efficiency_{n}_to_{m}": round(eff, 3),
     "pass": eff >= 0.8,
 }))
 EOF
