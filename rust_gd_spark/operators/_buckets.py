@@ -7,8 +7,9 @@ sizes, then self-equi-join on the bucket key — costs THREE shuffles of the
 full posting table (window sort, join left, join right) plus a shuffle of
 the raw pair blow-up for dedup. This helper does it with ONE shuffle:
 
+    materialize postings → prune singleton buckets (count-agg + join) →
     groupBy(bucket key) → collect capped, sorted member list →
-    JVM-side pair explosion (flatten/transform, whole-stage codegen)
+    JVM-side pair explosion (two Generate operators, codegen)
 
 The member array is bounded by ``max_bucket_size`` BEFORE explosion, so a
 hot bucket costs at most cap²/2 generated rows streamed out of a single
@@ -28,6 +29,8 @@ def bucket_pairs(
     payload_cols: list[str] | None = None,
     max_bucket_size: int = 2000,
     id_col: str = "id",
+    neighbor_window: int | None = None,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """``(pairs, audit)`` — pairs has ``id_l, id_r`` (+ ``<payload>_l/_r``).
 
@@ -35,8 +38,28 @@ def bucket_pairs(
     several buckets); callers dedup after their cheap verify filter so the
     dedup shuffle sees survivors, not the raw candidate blow-up.
     ``id_l < id_r`` is guaranteed via a sorted member array.
+
+    ``neighbor_window=K`` bounds pair generation to each member's next K
+    neighbors in the sorted bucket (a K-wide band graph) instead of all
+    C(m,2) pairs. For CLUSTERING this is the load-bearing scale guard:
+    a bucket of verbatim boilerplate emits a connected chain (linear) and
+    connected components restores the full cluster, whereas all-pairs is
+    quadratic in bucket size — measured 10^7+ raw pairs from one corpus'
+    boilerplate at 2M turns. Chain edges that fail downstream verification
+    can split a would-be cluster only if NO other bucket re-links the two
+    sides; band redundancy (32 MinHash bands, 4 SimHash bands, many winnow
+    fingerprints per doc) makes that vanishingly rare, and the recall
+    oracle test pins it ≥ 0.99. ``None`` = exact all-pairs semantics.
     """
     payload_cols = payload_cols or []
+    # The posting table is scanned TWICE below (bucket-size counts + the
+    # prune join). materialize=True computes it once (right when the
+    # upstream UDF is the expensive part — SimHash fingerprints, winnow);
+    # pass False when the posting table is huge but derives cheaply from an
+    # already-materialized parent (MinHash band explode: checkpointing the
+    # 32×-exploded band table measured slower than recomputing it).
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     member = F.struct(
         F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols]
     )
@@ -60,20 +83,25 @@ def bucket_pairs(
         .select(F.array_sort("ms").alias("ms"))  # by id ⇒ i<j → id_i < id_j
     )
 
-    ms = F.col("ms")
-    pair_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["id"].alias("id_l"),
-                    y["id"].alias("id_r"),
-                    *[x[c].alias(f"{c}_l") for c in payload_cols],
-                    *[y[c].alias(f"{c}_r") for c in payload_cols],
-                ),
-            ),
+    # Pair explosion as TWO Generate operators (posexplode the left member,
+    # explode a slice for its right neighbors) — codegen-friendly. The
+    # flatten(transform(transform)) formulation builds the same pairs via
+    # interpreted higher-order lambdas: 3× slower on a 6M-row band table.
+    span = (
+        F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0))
+        if neighbor_window is None
+        else F.least(
+            F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0)),
+            F.lit(neighbor_window),
         )
     )
-    pairs = ok.select(F.explode(pair_arr).alias("p")).select("p.*")
+    left = ok.select("ms", F.posexplode("ms").alias("i", "l"))
+    pairs = left.select(
+        F.col("l"), F.explode(F.slice("ms", F.col("i") + 2, span)).alias("r")
+    ).select(
+        F.col("l.id").alias("id_l"),
+        F.col("r.id").alias("id_r"),
+        *[F.col(f"l.{c}").alias(f"{c}_l") for c in payload_cols],
+        *[F.col(f"r.{c}").alias(f"{c}_r") for c in payload_cols],
+    )
     return pairs, audit

@@ -5,7 +5,8 @@ Pipeline (SURVEY.md §3.4):
     normalize → shingle (JVM-side, whole-stage codegen) →
     MinHash signature (ONE Arrow-vectorized pandas UDF) →
     LSH band explode (posexplode) →
-    candidate self-join on (band_idx, band_hash)  [1 shuffle, skew-capped] →
+    bucket-pair generation on (band_idx, band_hash)  [ONE shuffle of the
+      band table: groupBy + capped in-bucket pair explosion, _buckets.py] →
     exact-Jaccard verify via array_intersect      [no extra explode shuffle]
 
 Scale notes (the parts that matter at 10^12 turns):
@@ -14,12 +15,14 @@ Scale notes (the parts that matter at 10^12 turns):
   codegen; Python sees only the compact ``array<long>`` per row.
 * The signature UDF is batched: one numpy matmul-shaped min-reduction per
   Arrow batch, never per row.
-* The LSH self-join shuffles on ``(band_idx, band_hash)``. Boilerplate text
-  (the reference's Jugemu/"padpadpad" corpus, `src/lib.rs:104-105`) creates
-  mega-buckets; buckets larger than ``max_bucket_size`` are dropped with an
-  audit count (pairs inside a mega-bucket are near-certainly covered by
-  other bands or by the exact-dup pass; the drop is logged, not silent —
-  see ``lsh_candidate_pairs`` return). AQE skew-join handles residual skew.
+* Candidate generation shuffles the band table ONCE (groupBy band key,
+  singleton buckets pruned by a compact count-agg before any member list is
+  collected — see ``_buckets.bucket_pairs``). Boilerplate text (the
+  reference's Jugemu/"padpadpad" corpus, `src/lib.rs:104-105`) creates
+  mega-buckets; buckets larger than ``max_bucket_size`` are excluded from
+  the O(m²) pair expansion with an audit count (pairs inside a mega-bucket
+  are near-certainly covered by other bands or by the exact-dup pass; the
+  drop is logged, not silent — see ``lsh_candidate_pairs`` return).
 * Verification joins the (small) candidate-pair table back to per-doc
   shingle arrays — 2 hash joins, broadcast when the pair table is small.
 
@@ -69,6 +72,23 @@ def shingle_df(
     """
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
+    if hashed:
+        # hash the w-token slice ARRAY directly (xxhash64 accepts arrays):
+        # skips building n gram strings per row — pure overhead, since
+        # Jaccard over distinct shingles is invariant under any injective
+        # shingle hash (which is also why the DuckDB string-shingle oracle
+        # still matches).
+        grams = F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda i: F.xxhash64(F.slice(toks, i + 1, w)),
+            ),
+        ).otherwise(F.array(F.xxhash64(toks)))
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(F.array_distinct(grams)).alias("shingles"),
+        )
     grams = F.when(
         n >= w,
         F.transform(
@@ -76,18 +96,10 @@ def shingle_df(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    out = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(grams).alias("shingle_strs"),
     )
-    if hashed:
-        out = out.select(
-            "id",
-            F.array_sort(
-                F.transform(F.col("shingle_strs"), lambda s: F.xxhash64(s))
-            ).alias("shingles"),
-        )
-    return out
 
 
 def minhash_signatures(
@@ -153,7 +165,9 @@ def lsh_bands(signatures: DataFrame, bands: int = 32, rows: int = 4) -> DataFram
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, max_bucket_size: int = 2000
+    bands_df: DataFrame,
+    max_bucket_size: int = 2000,
+    neighbor_window: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket pairs on (band_idx, band_hash) → distinct pairs (id_l < id_r).
 
@@ -169,7 +183,11 @@ def lsh_candidate_pairs(
     from ._buckets import bucket_pairs
 
     raw, audit = bucket_pairs(
-        bands_df, ["band_idx", "band_hash"], max_bucket_size=max_bucket_size
+        bands_df,
+        ["band_idx", "band_hash"],
+        max_bucket_size=max_bucket_size,
+        neighbor_window=neighbor_window,
+        materialize=False,  # 32×-exploded band table: recompute beats storing
     )
     return raw.dropDuplicates(["id_l", "id_r"]), audit
 

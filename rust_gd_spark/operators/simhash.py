@@ -12,13 +12,16 @@ Pipeline:
     char n-grams (JVM-side substr/xxhash64) →
     64-bit SimHash (ONE vectorized pandas UDF) →
     band split (4 × 16 bits ⇒ Hamming distance ≤ 3 guaranteed caught) →
-    self-join on band (skew-capped, audited) →
-    verify: bit_count(fp_l XOR fp_r) ≤ max_dist  (JVM-side)
+    bucket-pair generation on (band_idx, band_val) [ONE shuffle, capped,
+      audited — _buckets.py] →
+    verify: bit_count(fp_l XOR fp_r) ≤ max_dist  (JVM-side, BEFORE the
+      pair dedup — 16-bit bands collide quadratically in corpus size, so
+      nothing may materialize the raw collision stream)
 
-Scale: the band self-join shuffles on 16-bit band values + band_idx. At
-10^12 rows even 65536 buckets/band skew; the cap+audit guard from the
-MinHash path applies, and the docstring-documented alternative for extreme
-scale is Manku et al.'s sorted-rotation scheme (WWW'07) — same fingerprints,
+Scale: 65536 buckets/band means bucket occupancy grows linearly and raw
+in-bucket pairs quadratically with corpus size; the cap+audit guard bounds
+any single bucket, and the documented alternative for extreme scale is
+Manku et al.'s sorted-rotation scheme (WWW'07) — same fingerprints,
 different candidate generation; the verify stage is unchanged.
 """
 
@@ -82,6 +85,69 @@ def simhash_fingerprints(grams_df: DataFrame) -> DataFrame:
     return grams_df.select("id", fp_udf("grams").alias("fp"))
 
 
+def simhash_fingerprints_from_text(
+    df: DataFrame, id_col: str = "uid", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """``(id, fp long)`` — fused char-k-gram extraction + SimHash, ONE UDF.
+
+    The two-step form (``char_ngram_df`` → ``simhash_fingerprints``)
+    materializes ~n gram STRINGS per row JVM-side and ships the hashed
+    ``array<long>`` through Arrow — 8× the text bytes. This kernel hashes
+    k-grams with one doubling-table pass over the chunk's concatenated
+    utf-8 bytes (polynomial rolling hash — a fixed uniform family, which is
+    all SimHash needs from its gram hash; fingerprints are NOT numerically
+    identical to the xxhash64-gram path, but banding/verify semantics are
+    unchanged), dedups grams per row, and bit-tallies with the same
+    unpackbits kernel. The pipeline uses this form; the two-step form stays
+    for gram-level inspection.
+    """
+    from .substring import _HashLevels, _rolling_hashes
+
+    _CHUNK_BYTES = 1 << 18
+
+    @F.pandas_udf(T.LongType())
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        enc = [(t or "").encode("utf-8") for t in texts]
+        row = 0
+        i, n_rows = 0, len(enc)
+        while i < n_rows:
+            j, tot = i, 0
+            while j < n_rows and (tot == 0 or tot + len(enc[j]) <= _CHUNK_BYTES):
+                tot += len(enc[j])
+                j += 1
+            chunk = enc[i:j]
+            flat_b = np.frombuffer(b"".join(chunk), dtype=np.uint8)
+            H = _HashLevels(flat_b).window_hashes(k) if len(flat_b) >= k else None
+            uniq: list[np.ndarray] = []
+            pos = 0
+            for b in chunk:
+                n = len(b)
+                if n < k:  # whole (short) text as the single gram
+                    uniq.append(_rolling_hashes(b, k))
+                else:
+                    uniq.append(np.unique(H[pos : pos + n - k + 1]))
+                pos += n
+            lens = np.fromiter((len(u) for u in uniq), np.int64, len(uniq))
+            flat = np.concatenate(uniq)
+            starts = np.zeros(len(uniq), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            fp_bits = (2 * ones > lens[:, None]).astype(np.uint64)
+            out[row : row + len(uniq)] = (
+                (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
+            )
+            row += len(uniq)
+            i = j
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), fp_udf(text_col).alias("fp"))
+
+
 def simhash_bands(fp_df: DataFrame, bands: int = 4) -> DataFrame:
     """Split the 64-bit fingerprint into ``bands`` equal slices.
 
@@ -102,7 +168,9 @@ def simhash_bands(fp_df: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    bands_df: DataFrame, max_bucket_size: int = 2000
+    bands_df: DataFrame,
+    max_bucket_size: int = 2000,
+    neighbor_window: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket pairs on (band_idx, band_val) carrying both fps.
 
@@ -119,6 +187,7 @@ def simhash_candidate_pairs(
         ["band_idx", "band_val"],
         payload_cols=["fp"],
         max_bucket_size=max_bucket_size,
+        neighbor_window=neighbor_window,
     )
 
 

@@ -39,9 +39,9 @@ def _rolling_hashes(data: bytes, k: int) -> np.ndarray:
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     n = len(b)
     if n < k:
-        h = np.uint64(0)
-        for x in b:
-            h = h * _B + x
+        h = 0
+        for x in b.tolist():  # python ints: no numpy scalar-overflow warnings
+            h = (h * int(_B) + x) & 0xFFFFFFFFFFFFFFFF
         return np.array([h], dtype=np.uint64)
     m = n - k + 1
     h = np.zeros(m, dtype=np.uint64)
@@ -63,6 +63,20 @@ def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
     return np.unique(hashes[np.unique(pos)])
 
 
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Min over every length-w window, O(n): block prefix/suffix minima."""
+    m = len(h)
+    if m <= w:
+        return h.min(keepdims=True)
+    nw = m - w + 1
+    pad = (-m) % w
+    hp = np.concatenate([h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+    blocks = hp.reshape(-1, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suff[:nw], pref[w - 1 : w - 1 + nw])
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "uid",
@@ -70,24 +84,56 @@ def winnow_fingerprints(
     k: int = 64,
     w: int = 137,
 ) -> DataFrame:
-    """``(id, fps array<long>)`` — winnowing fingerprint set per row."""
+    """``(id, fps array<long>)`` — winnowing fingerprint set per row.
+
+    Batched kernel: each chunk's texts are CONCATENATED and hashed with one
+    O(N log k) doubling-table pass (boundary-crossing windows simply aren't
+    selected), then per-text window minima come from the O(n) block
+    prefix/suffix trick. The per-row formulation (k Horner passes + an
+    O(n·w) sliding argmin) costs ~10× more memory traffic. The selected
+    fingerprint VALUE set is identical: the set of per-window minima equals
+    the set of values at winnowing-selected positions.
+    """
+    _CHUNK_BYTES = 1 << 18
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fp_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append([])
-                continue
-            hs = _rolling_hashes(t.encode("utf-8"), k)
-            out.append(_winnow(hs, w).astype(np.int64).tolist())
+        out: list = []
+        enc = [(t or "").encode("utf-8") for t in texts]
+        i, n_rows = 0, len(enc)
+        while i < n_rows:
+            j, tot = i, 0
+            while j < n_rows and (tot == 0 or tot + len(enc[j]) <= _CHUNK_BYTES):
+                tot += len(enc[j])
+                j += 1
+            chunk = enc[i:j]
+            flat = np.frombuffer(b"".join(chunk), dtype=np.uint8)
+            H = _HashLevels(flat).window_hashes(k) if len(flat) >= k else None
+            pos = 0
+            for b in chunk:
+                n = len(b)
+                if n == 0:
+                    out.append([])
+                elif n < k:
+                    out.append(
+                        _rolling_hashes(b, k).astype(np.int64).tolist()
+                    )
+                else:
+                    hs = H[pos : pos + n - k + 1]
+                    out.append(
+                        np.unique(_sliding_min(hs, w)).astype(np.int64).tolist()
+                    )
+                pos += n
+            i = j
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), fp_udf(text_col).alias("fps"))
 
 
 def substring_candidate_pairs(
-    fps: DataFrame, max_posting_size: int = 2000
+    fps: DataFrame,
+    max_posting_size: int = 2000,
+    neighbor_window: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Inverted-index bucket pairs on shared fingerprints → distinct pairs.
 
@@ -98,7 +144,12 @@ def substring_candidate_pairs(
     from ._buckets import bucket_pairs
 
     posting = fps.select("id", F.explode("fps").alias("fp"))
-    raw, audit = bucket_pairs(posting, ["fp"], max_bucket_size=max_posting_size)
+    raw, audit = bucket_pairs(
+        posting,
+        ["fp"],
+        max_bucket_size=max_posting_size,
+        neighbor_window=neighbor_window,
+    )
     return raw.dropDuplicates(["id_l", "id_r"]), audit
 
 
@@ -114,8 +165,11 @@ class _HashLevels:
 
     __slots__ = ("n", "levels", "pows")
 
-    def __init__(self, data: bytes):
-        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    def __init__(self, data):
+        if isinstance(data, np.ndarray):
+            b = data.astype(np.uint64)
+        else:
+            b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
         self.n = len(b)
         self.levels = [b]
         self.pows = [_B]
@@ -140,16 +194,29 @@ class _HashLevels:
         return acc
 
 
-def _lcs_length_ge(a: bytes, b: bytes, min_len: int) -> int:
+def _lcs_length_ge(
+    a: bytes, b: bytes, min_len: int, memo: dict | None = None
+) -> int:
     """Longest common substring length if ≥ min_len else 0.
 
     Binary search over length L with hash-set intersection; the doubling
-    tables are built once per pair and reused by every probe. 64-bit hashes
-    make collisions negligible, and each candidate is confirmed byte-exactly.
+    tables are built once per TEXT and reused by every probe — ``memo``
+    (keyed by the text) shares tables across pairs in a batch, which is the
+    expensive case exactly: boilerplate texts recur in thousands of pairs.
+    64-bit hashes make collisions negligible, and each candidate is
+    confirmed byte-exactly.
     """
     if min_len <= 0 or min(len(a), len(b)) < min_len:
         return 0
-    la, lb = _HashLevels(a), _HashLevels(b)
+    if memo is None:
+        la, lb = _HashLevels(a), _HashLevels(b)
+    else:
+        la = memo.get(a)
+        if la is None:
+            la = memo[a] = _HashLevels(a)
+        lb = memo.get(b)
+        if lb is None:
+            lb = memo[b] = _HashLevels(b)
 
     def common_at(L: int) -> bool:
         ha = la.window_hashes(L)
@@ -192,9 +259,10 @@ def verify_common_substring(
 
     @F.pandas_udf(T.IntegerType())
     def lcs_udf(tl: pd.Series, tr: pd.Series) -> pd.Series:
+        memo: dict = {}  # per-batch text → _HashLevels (boilerplate recurs)
         return pd.Series(
             [
-                _lcs_length_ge((x or "").encode(), (y or "").encode(), min_len)
+                _lcs_length_ge((x or "").encode(), (y or "").encode(), min_len, memo)
                 for x, y in zip(tl, tr)
             ],
             dtype="int32",
