@@ -200,6 +200,16 @@ def _q_substring_pairs(spark, sf_dir):
     )
 
 
+def _q_embedding_cosine_pairs(spark, sf_dir):
+    from rust_gd_spark.operators.embedding import cosine_pairs_bruteforce
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return cosine_pairs_bruteforce(e, "vec_id", "embedding", threshold=0.35).select(
+        F.col("id_l").alias("vec_l"), F.col("id_r").alias("vec_r"), "cosine"
+    )
+
+
 def _q_embedding_ann_lsh(spark, sf_dir):
     from rust_gd_spark.operators.embedding import cosine_topk_lsh
     from rust_gd_spark.session import ensure_min_partitions
@@ -255,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_lang": _q_quality_lang,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "window_reassembly": _q_window_reassembly,
         "window_rank": _q_window_rank,
         "join_agg_segment": _q_join_agg,
@@ -356,6 +367,21 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "embedding_topk_cosine": _EMB_TOPK_SQL,
+        "embedding_cosine_pairs": """
+            with n as (
+              select vec_id,
+                     list_transform(embedding, x -> x::double /
+                       sqrt(list_sum(list_transform(embedding, y -> y::double * y::double))))
+                       as v
+              from embeddings
+            )
+            select l.vec_id as vec_l, r.vec_id as vec_r,
+                   round(list_sum(list_transform(range(1, len(l.v) + 1),
+                         i -> l.v[i] * r.v[i])), 6) as cosine
+            from n l join n r on l.vec_id < r.vec_id
+            where round(list_sum(list_transform(range(1, len(l.v) + 1),
+                        i -> l.v[i] * r.v[i])), 6) >= 0.35
+        """,
         "window_reassembly": """
             select user_id,
                    string_agg(event_type, ',' order by ts, event_id) as event_seq,

@@ -103,6 +103,56 @@ def cosine_topk_bruteforce(
     return n.mapInPandas(run, schema=out_schema)
 
 
+def cosine_pairs_bruteforce(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact ``(id_l, id_r, cosine)`` for every pair with cosine ≥ threshold.
+
+    Same execution shape as ``cosine_topk_bruteforce``: the reference side
+    is broadcast (driver-materialized in local mode), the probe side streams
+    through ``mapInPandas`` with one numpy matmul per Arrow batch; only
+    id_l < id_r survivors cross back. This is the oracle-checkable exact
+    operator; ``embedding_near_dup_pairs`` is its hyperplane-LSH
+    approximation for corpora where O(n²) is not an option.
+    """
+    import pandas as _pd
+
+    n = l2_normalize(df, vec_col).select(F.col(id_col).alias("id"), F.col("vnorm"))
+    ref = n.toPandas()
+    ref_ids = ref["id"].to_numpy()
+    R = np.stack(ref["vnorm"].to_numpy()).astype(np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_l", df.schema[id_col].dataType),
+            T.StructField("id_r", df.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            L = np.stack(pdf["vnorm"].to_numpy()).astype(np.float64)
+            S = np.round(L @ R.T, 6)
+            ids_l = pdf["id"].to_numpy()
+            keep = (S >= threshold) & (ids_l[:, None] < ref_ids[None, :])
+            li, ri = np.nonzero(keep)
+            yield _pd.DataFrame(
+                {
+                    "id_l": ids_l[li],
+                    "id_r": ref_ids[ri],
+                    "cosine": S[li, ri],
+                }
+            )
+
+    return n.mapInPandas(run, schema=out_schema)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     id_col: str = "vec_id",

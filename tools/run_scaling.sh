@@ -9,6 +9,7 @@ N_CONV="${1:-5000}"
 TURNS="${2:-20}"
 N_SMALL="${3:-4}"
 N_BIG="${4:-16}"
+GRAN="${5:-conv}"
 SCRATCH=.scratch/scaling_${N_CONV}x${TURNS}
 RESULTS="$SCRATCH/results.jsonl"
 
@@ -31,7 +32,7 @@ for CORES in "$N_SMALL" "$N_BIG"; do
     --driver-memory 24g \
     --py-files dist/rust_gd_spark.zip \
     tools/scaling_bench.py \
-    --data "$SCRATCH" --cores "$CORES" --out "$RESULTS" 2>/dev/null
+    --data "$SCRATCH" --cores "$CORES" --granularity "$GRAN" --out "$RESULTS" 2>/dev/null
 done
 
 python - "$RESULTS" "$N_SMALL" "$N_BIG" <<'EOF'
