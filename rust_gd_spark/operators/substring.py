@@ -242,15 +242,42 @@ def _lcs_length_ge(
     return lo
 
 
+def _common_at_least(a: bytes, b: bytes, min_len: int, memo: dict) -> int:
+    """min_len if a byte-exact common substring of that length exists else 0
+    — the single-probe form of ``_lcs_length_ge``."""
+    if min_len <= 0 or min(len(a), len(b)) < min_len:
+        return 0
+    la = memo.get(a)
+    if la is None:
+        la = memo[a] = _HashLevels(a)
+    lb = memo.get(b)
+    if lb is None:
+        lb = memo[b] = _HashLevels(b)
+    ha = la.window_hashes(min_len)
+    hb = lb.window_hashes(min_len)
+    _, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+    for x, y in zip(ia[:8], ib[:8]):
+        if a[x : x + min_len] == b[y : y + min_len]:
+            return min_len
+    return 0
+
+
 def verify_common_substring(
     pairs: DataFrame,
     df: DataFrame,
     id_col: str = "uid",
     text_col: str = "text",
     min_len: int = 200,
+    exact_length: bool = True,
 ) -> DataFrame:
     """``(id_l, id_r, common_len)`` for pairs whose exact longest common
-    substring is ≥ min_len. Texts join onto the (small) candidate table."""
+    substring is ≥ min_len. Texts join onto the (small) candidate table.
+
+    ``exact_length=False`` answers only the THRESHOLD question (common_len
+    reported as min_len): one hash-set probe per pair instead of a full
+    binary search — ~10× cheaper on long documents where most candidates
+    pass (e.g. conversations sharing whole turns). The clustering pipeline
+    uses this mode; the threshold decision itself stays exact."""
     txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     j = (
         pairs.join(txt.withColumnRenamed("id", "id_l").withColumnRenamed("t", "t_l"), "id_l")
@@ -260,13 +287,19 @@ def verify_common_substring(
     @F.pandas_udf(T.IntegerType())
     def lcs_udf(tl: pd.Series, tr: pd.Series) -> pd.Series:
         memo: dict = {}  # per-batch text → _HashLevels (boilerplate recurs)
-        return pd.Series(
-            [
+        if exact_length:
+            vals = [
                 _lcs_length_ge((x or "").encode(), (y or "").encode(), min_len, memo)
                 for x, y in zip(tl, tr)
-            ],
-            dtype="int32",
-        )
+            ]
+        else:
+            vals = [
+                _common_at_least(
+                    (x or "").encode(), (y or "").encode(), min_len, memo
+                )
+                for x, y in zip(tl, tr)
+            ]
+        return pd.Series(vals, dtype="int32")
 
     return (
         j.withColumn("common_len", lcs_udf("t_l", "t_r"))

@@ -46,6 +46,10 @@ class DedupConfig:
     # pair blow-up to O(m·K) while CC restores full clusters via chain +
     # band redundancy. None = exact all-pairs (small corpora / oracles).
     neighbor_window: int | None = 8
+    # substring verify: threshold decision only (False) vs exact LCS length
+    # (True). Clustering needs the decision; exact length is ~10× slower on
+    # long documents.
+    substring_exact_length: bool = False
     seed: int = 1
 
 
@@ -236,7 +240,8 @@ def near_dup_pipeline(
             runner_audits["substring_skew"] = audit
             cand = cand.localCheckpoint(eager=True)
             return substring.verify_common_substring(
-                cand, reps, "id", "text", cfg.min_substring_len
+                cand, reps, "id", "text", cfg.min_substring_len,
+                exact_length=cfg.substring_exact_length,
             )
 
         return runner.run("substring_pairs", _ss_pairs)
