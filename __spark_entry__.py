@@ -193,10 +193,17 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_substring_pairs(spark, sf_dir):
+    """Pairs sharing a verbatim ≥120-byte substring. Oracle-checkable:
+    winnowing candidate recall is EXACT for spans ≥ k+w−1 = min_len (no
+    cap hit at this SF — bucket sizes ≪ max_posting_size), the verify is
+    byte-exact, and exact_length=False reports common_len = min_len for
+    every qualifying pair — so the pair set equals the SQL window
+    self-join's. Fixture texts are ASCII, so SQL char windows == the
+    operator's byte windows."""
     from rust_gd_spark.operators.substring import substring_near_dup_pairs
 
     return substring_near_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", min_len=120
+        _docs(spark, sf_dir), "doc_id", "text", min_len=120, exact_length=False
     )
 
 
@@ -211,13 +218,19 @@ def _q_embedding_cosine_pairs(spark, sf_dir):
 
 
 def _q_embedding_ann_lsh(spark, sf_dir):
-    from rust_gd_spark.operators.embedding import cosine_topk_lsh
+    """Hyperplane-LSH near-dup pairs at τ=0.35, exact-cosine verified —
+    oracle-checked against the exact all-pairs SQL. Band width scales with
+    the threshold regime: τ=0.35 (θ≈69°) needs 4-bit bands × 64
+    (per-pair miss probability (1−0.143)^64 ≈ 5e-5; zero misses on this
+    fixture, deterministic under seed 7). High-threshold near-dup (τ≥0.7)
+    uses the default 8-bit × 8 config — see operators/embedding.py."""
+    from rust_gd_spark.operators.embedding import embedding_near_dup_pairs
     from rust_gd_spark.session import ensure_min_partitions
 
     e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    return cosine_topk_lsh(e, "vec_id", "embedding", k=TOPK).select(
-        F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
-    )
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, nbits=256, bands=64, seed=7
+    ).select(F.col("id_l").alias("vec_l"), F.col("id_r").alias("vec_r"), "cosine")
 
 
 def _q_gd_roundtrip(spark, sf_dir):
@@ -238,13 +251,43 @@ def _q_gd_decompose_metrics(spark, sf_dir):
 
 
 def _q_transcript_clusters(spark, sf_dir):
-    from rust_gd_spark.pipeline import DedupConfig, near_dup_pipeline, with_turn_uid
+    """End-to-end pipeline → connected components → canonical cluster
+    labels (cluster_id = min member uid). Oracle-checked against a DuckDB
+    recursive-CTE transitive closure over the SQL-expressible edge set
+    (exact md5 groups + w-shingle Jaccard ≥ 0.5 + shared ≥120-byte
+    substring); simhash is disabled for this query (its fingerprint
+    family is not SQL-expressible — covered by `simhash_pairs` +
+    recall pytest) and neighbor_window=None gives exact in-bucket pair
+    semantics so the partitions match bit-for-bit."""
+    from rust_gd_spark.pipeline import (
+        DedupConfig, canonical_clusters, near_dup_pipeline, with_turn_uid,
+    )
 
     tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir))
     res = near_dup_pipeline(
-        tr, "uid", "text", DedupConfig(jaccard_threshold=0.5, min_substring_len=120)
+        tr, "uid", "text",
+        DedupConfig(
+            jaccard_threshold=0.5, min_substring_len=120,
+            enable_simhash=False, neighbor_window=None,
+        ),
     )
-    return res.clusters
+    return canonical_clusters(res.clusters)
+
+
+def _q_gd_chunk_stats(spark, sf_dir):
+    """Chunker semantics (A5: fixed n-byte grid + last-chunk zero pad,
+    `gd_byte_unit.rs:42-65`) verified against SQL arithmetic: the chunk
+    count and pad of a conversation's serialized byte stream are pure
+    functions of its per-turn byte lengths."""
+    from rust_gd_spark.gd.spark import gd_decompose
+
+    tr = _transcripts_from_docs(spark, sf_dir)
+    chunks = gd_decompose(tr, n=128, k=124)
+    return chunks.groupBy("conv_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("last_chunk_pad").cast("int").alias("pad_bytes"),
+        (F.count("*") * 128 - F.max("last_chunk_pad")).alias("orig_bytes"),
+    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -266,17 +309,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "embedding_ann_lsh": _q_embedding_ann_lsh,
         "window_reassembly": _q_window_reassembly,
         "window_rank": _q_window_rank,
         "join_agg_segment": _q_join_agg,
-        # rows-only (non-SQL-expressible candidate generation / UDF plumbing)
-        "simhash_pairs": _q_simhash_pairs,
         "substring_pairs": _q_substring_pairs,
-        "embedding_ann_lsh": _q_embedding_ann_lsh,
         "gd_roundtrip": _q_gd_roundtrip,
-        "gd_decompose_metrics": _q_gd_decompose_metrics,
+        "gd_chunk_stats": _q_gd_chunk_stats,
         "transcript_clusters": _q_transcript_clusters,
         "multimodal_features": _q_multimodal_features,
+        # rows-only (non-SQL-expressible: simhash fingerprint family; GD
+        # base/deviation byte contents — chunk counts ARE oracle-checked
+        # via gd_chunk_stats, round-trip via gd_roundtrip)
+        "simhash_pairs": _q_simhash_pairs,
+        "gd_decompose_metrics": _q_gd_decompose_metrics,
     }
 
 
@@ -310,6 +356,68 @@ from common c
 join sizes sl on sl.doc_id = c.id_l
 join sizes sr on sr.doc_id = c.id_r
 where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
+"""
+
+# uid mapping of _transcripts_from_docs, in SQL: conv = doc_id % 50,
+# turn_idx = row_number within conv ordered by doc_id - 1 = doc_id // 50
+_UID_SQL = "printf('conv-%04d:%d', (doc_id % 50)::int, (doc_id // 50)::int)"
+
+_SUBSTRING_WINS = """
+  select distinct doc_id, md5(substr(text, i, 120)) as h
+  from documents, unnest(range(1, length(text) - 118)) as t(i)
+  where length(text) >= 120
+"""
+
+_SUBSTRING_SQL = f"""
+with wins as ({_SUBSTRING_WINS})
+select l.doc_id as id_l, r.doc_id as id_r, 120 as common_len
+from wins l join wins r on l.h = r.h and l.doc_id < r.doc_id
+group by 1, 2
+"""
+
+# Connected components over the SQL-expressible edge set (exact + jaccard
+# + substring) via transitive closure; cluster_id = min member uid.
+_CLUSTERS_SQL = f"""
+with recursive
+sh as (select doc_id, unnest({_SHINGLES}) as s from documents),
+dsh as (select distinct doc_id, s from sh),
+sizes as (select doc_id, count(*) as n from dsh group by doc_id),
+common as (
+  select l.doc_id as a, r.doc_id as b, count(*) as c
+  from dsh l join dsh r on l.s = r.s and l.doc_id < r.doc_id
+  group by 1, 2
+),
+jac as (
+  select c.a, c.b from common c
+  join sizes sl on sl.doc_id = c.a join sizes sr on sr.doc_id = c.b
+  where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
+),
+wins as ({_SUBSTRING_WINS}),
+sub as (
+  select l.doc_id as a, r.doc_id as b
+  from wins l join wins r on l.h = r.h and l.doc_id < r.doc_id
+  group by 1, 2
+),
+ex as (
+  select min(doc_id) over (partition by md5(text)) as a, doc_id as b
+  from documents
+),
+edges as (
+  select a, b from ex where a <> b
+  union select a, b from jac
+  union select a, b from sub
+),
+sym as (select a, b from edges union select b as a, a as b from edges),
+reach(src, dst) as (
+  select doc_id, doc_id from documents
+  union
+  select r.src, s.b from reach r join sym s on r.dst = s.a
+),
+comp as (select src as doc_id, min(dst) as root from reach group by src),
+uids as (select {_UID_SQL} as uid, root from comp)
+select u.uid as id, m.cid as cluster_id
+from uids u join (select root, min(uid) as cid from uids group by root) m
+  using (root)
 """
 
 _EMB_TOPK_SQL = f"""
@@ -367,6 +475,50 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "embedding_topk_cosine": _EMB_TOPK_SQL,
+        "embedding_ann_lsh": """
+            with n as (
+              select vec_id,
+                     list_transform(embedding, x -> x::double /
+                       sqrt(list_sum(list_transform(embedding, y -> y::double * y::double))))
+                       as v
+              from embeddings
+            )
+            select l.vec_id as vec_l, r.vec_id as vec_r,
+                   round(list_sum(list_transform(range(1, len(l.v) + 1),
+                         i -> l.v[i] * r.v[i])), 6) as cosine
+            from n l join n r on l.vec_id < r.vec_id
+            where round(list_sum(list_transform(range(1, len(l.v) + 1),
+                        i -> l.v[i] * r.v[i])), 6) >= 0.35
+        """,
+        "substring_pairs": _SUBSTRING_SQL,
+        "gd_roundtrip": """
+            select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
+                   count(*)::int as n_turns,
+                   sum(8 + octet_length(encode(text)))::bigint as orig_bytes,
+                   true as roundtrip_ok
+            from documents group by 1
+        """,
+        "gd_chunk_stats": """
+            with conv as (
+              select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
+                     sum(8 + octet_length(encode(text)))::bigint as b
+              from documents group by 1
+            )
+            select conv_id, ((b + 127) // 128)::bigint as n_chunks,
+                   ((128 - b % 128) % 128)::int as pad_bytes,
+                   b as orig_bytes
+            from conv
+        """,
+        "transcript_clusters": _CLUSTERS_SQL,
+        "multimodal_features": """
+            select doc_id as asset_id,
+                   (['image','audio','video'])[(doc_id % 3 + 1)::int] as kind,
+                   (3 * octet_length(encode(text)))::bigint as n_bytes,
+                   round(case when length(text) = 0 then 0.0
+                         else (length(text) - length(replace(text, 'a', '')))::double
+                              / octet_length(encode(text)) end, 6) as f_a
+            from documents
+        """,
         "embedding_cosine_pairs": """
             with n as (
               select vec_id,

@@ -151,9 +151,8 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
-                img = decode_fake(row["payload"], int(m["width"]), int(m["height"]))
+            for payload, m in zip(pdf["payload"], pdf["meta"]):
+                img = decode_fake(payload, int(m["width"]), int(m["height"]))
                 ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
                 xs = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
                 out.append(img[np.ix_(ys, xs)].tobytes())
@@ -186,12 +185,11 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                nf = max(int(row["meta"]["n_frames"]), 1)
-                b = row["payload"]
+            for aid, m, b in zip(pdf["asset_id"], pdf["meta"], pdf["payload"]):
+                nf = max(int(m["n_frames"]), 1)
                 step = max(len(b) // nf, 1)
                 for fi in range(0, nf, every_k):
-                    ids.append(row["asset_id"])
+                    ids.append(aid)
                     idxs.append(fi)
                     frames.append(bytes(b[fi * step : (fi + 1) * step]))
             yield pd.DataFrame(

@@ -2,13 +2,17 @@
 case of the reference's GD dictionary (`src/dict.rs:38-63`): identical
 content maps to the same dictionary entry.
 
-One shuffle (window by content key); canonical member = min id, which makes
-the output deterministic and oracle-checkable in ANSI SQL.
+Skew note: a window over the content key would put EVERY copy of a hot
+boilerplate text into one window partition in one task — and AQE cannot
+split window skew. The groupBy formulation shuffles compact
+(content_key, min_id, count) rows with map-side partial aggregation, and
+the join back is AQE-skew-splittable; the group table is tiny (one row per
+distinct text) so it broadcasts.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .minhash import normalize_text
 
@@ -23,13 +27,15 @@ def exact_dup_groups(
 
     content_key = md5 of (optionally normalized) text — md5 so the DuckDB
     oracle computes the identical key. canonical_id = min(id) in the group.
+    Plan: HashAggregate (partial+final) + one join — no Window operator.
     """
     key_src = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
-    w = Window.partitionBy("content_key")
-    return (
-        df.select(F.col(id_col).alias("id"), F.md5(key_src).alias("content_key"))
-        .withColumn("canonical_id", F.min("id").over(w))
-        .withColumn("group_size", F.count("*").over(w))
+    keyed = df.select(F.col(id_col).alias("id"), F.md5(key_src).alias("content_key"))
+    groups = keyed.groupBy("content_key").agg(
+        F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return keyed.join(groups, "content_key").select(
+        "id", "content_key", "canonical_id", "group_size"
     )
 
 

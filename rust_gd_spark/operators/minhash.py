@@ -47,8 +47,10 @@ def normalize_text(col):
     Mirrors the reference's error-alignment knob (`DESIGN.md:62-109`): it
     decides which variation is 'deviation' (ignored) vs 'base' (matched).
     Kept deliberately simple + ANSI-SQL-expressible for oracle parity.
+    NULL text coalesces to '' so NULL and empty rows shingle identically —
+    matching the DuckDB oracle's coalesce-to-empty handling.
     """
-    c = F.lower(col)
+    c = F.lower(F.coalesce(col, F.lit("")))
     c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
     return F.trim(c)
 

@@ -171,6 +171,7 @@ def simhash_candidate_pairs(
     bands_df: DataFrame,
     max_bucket_size: int = 2000,
     neighbor_window: int | None = None,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket pairs on (band_idx, band_val) carrying both fps.
 
@@ -188,6 +189,10 @@ def simhash_candidate_pairs(
         payload_cols=["fp"],
         max_bucket_size=max_bucket_size,
         neighbor_window=neighbor_window,
+        # False when the band table derives cheaply from an already-staged
+        # fp table (the pipeline stages fps); True when fps are computed
+        # inline (standalone simhash_near_dup_pairs).
+        materialize=materialize,
     )
 
 

@@ -16,7 +16,9 @@ Pipeline:
     verify: exact longest-common-substring length ≥ min_len via binary
       search over rolling-hash sets (pandas UDF over candidate pairs only)
 
-Defaults k=64, w=137 ⇒ guarantee for spans ≥ 200 chars (FIXTURES.md §1).
+Defaults k=64, w=137 ⇒ guarantee for spans ≥ 200 BYTES (FIXTURES.md §1;
+all lengths in this module are UTF-8 byte counts — see
+``substring_near_dup_pairs``).
 
 Scale: fingerprint density is ~2/(w+1) per char — a 10 KB doc yields ~150
 fingerprints, so the posting list shuffle is ~100× smaller than full k-gram
@@ -316,11 +318,23 @@ def substring_near_dup_pairs(
     w: int | None = None,
     k: int | None = None,
     max_posting_size: int = 2000,
+    exact_length: bool = True,
 ) -> DataFrame:
-    """End-to-end: pairs sharing a verbatim substring of ≥ min_len chars.
+    """End-to-end: pairs sharing a verbatim substring of ≥ min_len BYTES.
+
+    Length semantics: all lengths (``min_len``, ``common_len``) are UTF-8
+    BYTE counts — fingerprints and the LCS verify operate on
+    ``text.encode()``. For ASCII text bytes == characters; for non-ASCII
+    text a byte threshold admits shorter character spans (a multi-byte
+    span of min_len bytes is < min_len characters). Callers thresholding
+    in characters should scale ``min_len`` by their worst-case bytes/char.
 
     Winnowing guarantee: with k-gram length k and window w chosen so that
-    k + w − 1 ≤ min_len, every qualifying pair shares ≥ 1 fingerprint.
+    k + w − 1 ≤ min_len, every qualifying pair shares ≥ 1 fingerprint —
+    candidate recall is exact (the cap + audit on mega-postings is the
+    only drop, and it is reported). ``exact_length=False`` reports
+    common_len = min_len for every qualifying pair (threshold decision
+    only, ~10× cheaper; the pair SET is identical).
     """
     if k is None:
         k = max(16, min_len // 3)
@@ -331,4 +345,6 @@ def substring_near_dup_pairs(
     pairs, _ = substring_candidate_pairs(fps, max_posting_size=max_posting_size)
     # materialize the (small) candidate table before the verify joins
     pairs = pairs.localCheckpoint(eager=True)
-    return verify_common_substring(pairs, df, id_col, text_col, min_len=min_len)
+    return verify_common_substring(
+        pairs, df, id_col, text_col, min_len=min_len, exact_length=exact_length
+    )

@@ -50,6 +50,13 @@ class DedupConfig:
     # (True). Clustering needs the decision; exact length is ~10× slower on
     # long documents.
     substring_exact_length: bool = False
+    # Path toggles: the exact path always runs (it is also the
+    # canonicalization step); the three near-dup paths can be disabled
+    # individually (e.g. the oracle-checkable exact+minhash+substring
+    # subset, or a minhash-only fast pass).
+    enable_minhash: bool = True
+    enable_simhash: bool = True
+    enable_substring: bool = True
     seed: int = 1
 
 
@@ -63,14 +70,27 @@ class PipelineResult:
 
 
 class _StageRunner:
-    """Materialize-or-resume per stage + lineage/metrics bookkeeping."""
+    """Materialize-or-resume per stage + lineage/metrics bookkeeping.
 
-    def __init__(self, spark, checkpoint_dir: str | None, run_id: str):
+    ``collect_stats=False`` skips the per-stage partition-count job (a full
+    extra pass over each stage's output) — rows are recorded as -1 and the
+    lineage table is empty. Bench/scaling runs use this; correctness runs
+    keep the default.
+    """
+
+    def __init__(
+        self,
+        spark,
+        checkpoint_dir: str | None,
+        run_id: str,
+        collect_stats: bool = True,
+    ):
         import threading
 
         self.spark = spark
         self.dir = checkpoint_dir
         self.run_id = run_id
+        self.collect_stats = collect_stats
         self.metrics: list[tuple] = []
         self.lineage: list[tuple] = []
         self._lock = threading.Lock()  # stages run from concurrent threads
@@ -92,12 +112,15 @@ class _StageRunner:
         else:
             build().write.mode("overwrite").parquet(self._path(stage))
             out = self.spark.read.parquet(self._path(stage))
-        part_rows = (
-            out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
-        total = sum(r.rows for r in part_rows)
+        if self.collect_stats:
+            part_rows = (
+                out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            )
+            total = sum(r.rows for r in part_rows)
+        else:
+            part_rows, total = [], -1
         wall_ms = int((time.monotonic() - t0) * 1000)
         with self._lock:
             self.metrics.append((self.run_id, stage, total, wall_ms, resumed))
@@ -151,11 +174,12 @@ def near_dup_pipeline(
     cfg: DedupConfig | None = None,
     checkpoint_dir: str | None = None,
     run_id: str = "run-0",
+    collect_stats: bool = True,
 ) -> PipelineResult:
     """The full dedup DAG. ``df`` must have unique ``id_col`` values."""
     cfg = cfg or DedupConfig()
     spark = df.sparkSession
-    runner = _StageRunner(spark, checkpoint_dir, run_id)
+    runner = _StageRunner(spark, checkpoint_dir, run_id, collect_stats=collect_stats)
 
     src = df.select(F.col(id_col).alias("orig_id"), F.col(text_col).alias("text"))
     # Internal node key: xxhash64 of the caller id. Every downstream stage
@@ -187,64 +211,102 @@ def near_dup_pipeline(
 
     runner_audits: dict = {}
 
+    def _staged_candidates(name: str, build_cands):
+        """Materialize a candidate-pair stage AND its skew-audit frame as
+        two resumable stages sharing one (memoized) build. On resume both
+        read back from parquet, so ``PipelineResult.audits`` is populated
+        on resumed runs too — oversized buckets are never silently
+        invisible just because the run restarted."""
+        cache: dict = {}
+
+        def _memo():
+            if "r" not in cache:
+                cache["r"] = build_cands()
+            return cache["r"]
+
+        cand = runner.run(f"{name}_cands", lambda: _memo()[0])
+        audit = runner.run(f"{name}_skew_audit", lambda: _memo()[1])
+        return cand, audit
+
     # --- MinHash/LSH path -------------------------------------------------
     def _mh_chain():
         shingles = runner.run(
             "shingles", lambda: minhash.shingle_df(reps, "id", "text", w=cfg.w)
         )
 
-        def _mh_pairs():
-            sig = minhash.minhash_signatures(shingles, cfg.num_perm, cfg.seed)
+        def _mh_cands():
+            # Checkpoint the SIGNATURE table (compact: num_perm longs/row),
+            # not the bands×-exploded band table: bucket_pairs scans its
+            # input twice (count agg + prune join), and without this the
+            # signature UDF — the path's dominant cost — ran twice.
+            sig = minhash.minhash_signatures(
+                shingles, cfg.num_perm, cfg.seed
+            ).localCheckpoint(eager=True)
             bands = minhash.lsh_bands(sig, cfg.bands, cfg.rows)
-            cand, audit = minhash.lsh_candidate_pairs(
+            return minhash.lsh_candidate_pairs(
                 bands, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window
             )
-            runner_audits["lsh_skew"] = audit
-            # materialize candidates before the verify joins: keeps the
-            # verify job a small broadcast-able probe instead of fusing the
-            # band self-join into the text-join stage graph (6x measured)
-            cand = cand.localCheckpoint(eager=True)
-            return minhash.verify_jaccard(cand, shingles, cfg.jaccard_threshold)
 
-        return runner.run("minhash_pairs", _mh_pairs)
+        cand, audit = _staged_candidates("minhash", _mh_cands)
+        runner_audits["lsh_skew"] = audit
+        return runner.run(
+            "minhash_pairs",
+            lambda: minhash.verify_jaccard(cand, shingles, cfg.jaccard_threshold),
+        )
 
     # --- SimHash path -------------------------------------------------------
     def _sh_chain():
-        def _sh_pairs():
-            # fused text→fp kernel: no JVM gram-string explosion, 8× less
-            # Arrow traffic than char_ngram_df → simhash_fingerprints
-            fps = simhash.simhash_fingerprints_from_text(
+        # fused text→fp kernel: no JVM gram-string explosion, 8× less
+        # Arrow traffic than char_ngram_df → simhash_fingerprints. The fp
+        # table is compact (one int64 per rep) — staging it makes the band
+        # explode a cheap JVM re-derivation for both consumers below.
+        fps = runner.run(
+            "simhash_fps",
+            lambda: simhash.simhash_fingerprints_from_text(
                 reps, "id", "text", k=cfg.char_k
-            )
-            banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
-            cand, audit = simhash.simhash_candidate_pairs(
-                banded, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window
-            )
-            runner_audits["simhash_skew"] = audit
-            # no checkpoint here: the raw band-collision stream is quadratic
-            # in corpus size; the JVM Hamming filter must run before
-            # anything materializes it
-            return simhash.verify_hamming(cand, cfg.max_hamming)
+            ),
+        )
 
-        return runner.run("simhash_pairs", _sh_pairs)
+        def _sh_cands():
+            banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
+            return simhash.simhash_candidate_pairs(
+                banded,
+                cfg.max_bucket_size,
+                neighbor_window=cfg.neighbor_window,
+                materialize=False,
+            )
+
+        # the audit derives from the compact bucket-count agg — persist it
+        # as its own stage. The raw 16-bit-band collision stream is
+        # quadratic in corpus size and is deliberately NEVER staged: the
+        # JVM Hamming filter in verify fuses over it before anything
+        # materializes.
+        runner_audits["simhash_skew"] = runner.run(
+            "simhash_skew_audit", lambda: _sh_cands()[1]
+        )
+        return runner.run(
+            "simhash_pairs", lambda: simhash.verify_hamming(_sh_cands()[0], cfg.max_hamming)
+        )
 
     # --- substring path -----------------------------------------------------
     def _ss_chain():
-        def _ss_pairs():
+        def _ss_cands():
             k = max(16, cfg.min_substring_len // 3)
             w = cfg.min_substring_len - k + 1
             fps = substring.winnow_fingerprints(reps, "id", "text", k=k, w=w)
-            cand, audit = substring.substring_candidate_pairs(
+            return substring.substring_candidate_pairs(
                 fps, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window
             )
-            runner_audits["substring_skew"] = audit
-            cand = cand.localCheckpoint(eager=True)
-            return substring.verify_common_substring(
+
+        cand, audit = _staged_candidates("substring", _ss_cands)
+        runner_audits["substring_skew"] = audit
+        return runner.run(
+            "substring_pairs",
+            lambda: substring.verify_common_substring(
                 cand, reps, "id", "text", cfg.min_substring_len,
                 exact_length=cfg.substring_exact_length,
-            )
-
-        return runner.run("substring_pairs", _ss_pairs)
+            ),
+        )
 
     # The three candidate paths are independent DAGs over `reps`. They run
     # SEQUENTIALLY on purpose: measured on a saturated 32-core box,
@@ -252,18 +314,34 @@ def near_dup_pipeline(
     # wall 35% WORSE — 3x the python UDF workers and 3x the concurrent
     # shuffles fight for the same memory bandwidth. On a multi-executor
     # cluster with scheduler pools, concurrency here is a one-line change.
-    mh_pairs = _mh_chain()
-    sh_pairs = _sh_chain()
-    ss_pairs = _ss_chain()
+    path_pairs: list[DataFrame] = []
+    if cfg.enable_minhash:
+        mh = _mh_chain()
+        path_pairs.append(
+            mh.select("id_l", "id_r", F.lit("minhash").alias("path"),
+                      F.col("jaccard").alias("score"))
+        )
+    if cfg.enable_simhash:
+        sh = _sh_chain()
+        path_pairs.append(
+            sh.select("id_l", "id_r", F.lit("simhash").alias("path"),
+                      (1.0 - F.col("hamming_dist") / 64.0).alias("score"))
+        )
+    if cfg.enable_substring:
+        ss = _ss_chain()
+        path_pairs.append(
+            ss.select("id_l", "id_r", F.lit("substring").alias("path"),
+                      F.col("common_len").cast("double").alias("score"))
+        )
 
     # --- union + clustering ---------------------------------------------------
     def _all_pairs():
-        return (
-            exact_pairs.select("id_l", "id_r", F.lit("exact").alias("path"), F.lit(1.0).alias("score"))
-            .unionByName(mh_pairs.select("id_l", "id_r", F.lit("minhash").alias("path"), F.col("jaccard").alias("score")))
-            .unionByName(sh_pairs.select("id_l", "id_r", F.lit("simhash").alias("path"), (1.0 - F.col("hamming_dist") / 64.0).alias("score")))
-            .unionByName(ss_pairs.select("id_l", "id_r", F.lit("substring").alias("path"), F.col("common_len").cast("double").alias("score")))
+        out = exact_pairs.select(
+            "id_l", "id_r", F.lit("exact").alias("path"), F.lit(1.0).alias("score")
         )
+        for p in path_pairs:
+            out = out.unionByName(p)
+        return out
 
     pairs = runner.run("pairs", _all_pairs)
 
@@ -285,6 +363,106 @@ def near_dup_pipeline(
         metrics=runner.metrics_df(),
         lineage=runner.lineage_df(),
         audits=runner_audits,
+    )
+
+
+def canonical_clusters(clusters: DataFrame) -> DataFrame:
+    """Relabel ``(id, cluster_id)`` with cluster_id = min(id) per cluster.
+
+    The internal cluster label is an xxhash64-derived int64 (content-
+    addressed, no global counter); this makes labels deterministic IN TERMS
+    OF THE CALLER'S IDS — the form an external system (or a SQL oracle's
+    recursive-CTE components) can reproduce exactly. One small agg + one
+    broadcast-able join.
+    """
+    labels = clusters.groupBy("cluster_id").agg(F.min("id").alias("label"))
+    return clusters.join(labels, "cluster_id").select(
+        "id", F.col("label").alias("cluster_id")
+    )
+
+
+def write_outputs(result: PipelineResult, out_dir: str, run_id: str = "run-0") -> dict:
+    """Persist the pipeline's output contract — the engine's analogue of the
+    reference's ``Deduped`` output struct (`src/lib.rs:90-94`):
+
+        {out_dir}/{run_id}/clusters/   (id, cluster_id)
+        {out_dir}/{run_id}/pairs/      (id_l, id_r, path, score)
+        {out_dir}/{run_id}/metrics/    (run_id, stage, rows, wall_ms, resumed)
+        {out_dir}/{run_id}/lineage/    (run_id, stage, partition_id, rows)
+        {out_dir}/{run_id}/audits/<name>/  skew-audit frames
+        {out_dir}/{run_id}/manifest.json
+
+    Parquet-dir-with-_SUCCESS is the sandbox stand-in for an Iceberg
+    snapshot commit (SURVEY.md §1.2/§4.3); on a real cluster these are
+    ``df.writeTo(tbl).append()`` calls. Returns the manifest dict.
+    """
+    import json
+
+    base = os.path.join(out_dir, run_id)
+    tables = {"clusters": result.clusters, "pairs": result.pairs,
+              "metrics": result.metrics, "lineage": result.lineage}
+    manifest: dict = {"run_id": run_id, "tables": {}, "audits": {}}
+    for name, df_ in tables.items():
+        path = os.path.join(base, name)
+        df_.write.mode("overwrite").parquet(path)
+        manifest["tables"][name] = {"path": path, "schema": df_.schema.simpleString()}
+    for name, adf in result.audits.items():
+        path = os.path.join(base, "audits", name)
+        adf.write.mode("overwrite").parquet(path)
+        manifest["audits"][name] = {"path": path, "rows": adf.count()}
+    # manifest last: its existence marks a complete, readable output set
+    with open(os.path.join(base, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_outputs(spark, out_dir: str, run_id: str = "run-0") -> PipelineResult:
+    """Load a persisted output set back into a ``PipelineResult``."""
+    import json
+
+    base = os.path.join(out_dir, run_id)
+    with open(os.path.join(base, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    t = {n: spark.read.parquet(m["path"]) for n, m in manifest["tables"].items()}
+    audits = {n: spark.read.parquet(m["path"]) for n, m in manifest["audits"].items()}
+    return PipelineResult(
+        clusters=t["clusters"], pairs=t["pairs"], metrics=t["metrics"],
+        lineage=t["lineage"], audits=audits,
+    )
+
+
+def write_gd_outputs(chunks: DataFrame, out_dir: str, run_id: str = "run-0") -> dict:
+    """Persist the GD decomposition contract: ``bases(base_id, base,
+    n_refs)`` and ``deviations(conv_id, chunk_idx, base_id, deviation,
+    last_chunk_pad)`` — together lossless (reconstruct = deviations ⋈ bases
+    → gd_reconstruct). Reference analogue: the packed record stream
+    `src/gd_byte_unit.rs:78-98`, as columnar tables."""
+    import json
+
+    from .gd.spark import assign_base_ids
+
+    base = os.path.join(out_dir, run_id)
+    bases, with_id = assign_base_ids(chunks)
+    paths = {"bases": os.path.join(base, "bases"),
+             "deviations": os.path.join(base, "deviations")}
+    bases.write.mode("overwrite").parquet(paths["bases"])
+    with_id.select(
+        "conv_id", "chunk_idx", "base_id", "deviation", "last_chunk_pad"
+    ).write.mode("overwrite").parquet(paths["deviations"])
+    manifest = {"run_id": run_id, "tables": paths}
+    with open(os.path.join(base, "gd_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_gd_outputs(spark, out_dir: str, run_id: str = "run-0") -> DataFrame:
+    """Inverse of ``write_gd_outputs``: join deviations back to bases,
+    returning the full chunk table gd_reconstruct expects."""
+    base = os.path.join(out_dir, run_id)
+    bases = spark.read.parquet(os.path.join(base, "bases"))
+    devs = spark.read.parquet(os.path.join(base, "deviations"))
+    return devs.join(bases.select("base_id", "base"), "base_id").select(
+        "conv_id", "chunk_idx", "base", "deviation", "last_chunk_pad"
     )
 
 
