@@ -274,6 +274,25 @@ def _q_transcript_clusters(spark, sf_dir):
     return canonical_clusters(res.clusters)
 
 
+def _q_gd_roundtrip_aligned(spark, sf_dir):
+    """RS + error-alignment variant (the reference's third entry point,
+    `src/lib.rs:73-78`; round-trip test `src/lib.rs:197-239`): decode on
+    c·T, encode applies T⁻¹ last. T is a deterministic unit-upper-
+    triangular 128×128 over GF(2⁸) (nonsingular by construction). Sizes
+    are invariant under T, so the same byte-arithmetic oracle applies."""
+    import numpy as np
+
+    from rust_gd_spark.gd.spark import gd_conversation_roundtrip
+
+    rng = np.random.default_rng(5)
+    t = np.triu(rng.integers(0, 256, size=(128, 128), dtype=np.uint8), k=1)
+    np.fill_diagonal(t, 1)
+    tr = _transcripts_from_docs(spark, sf_dir)
+    return gd_conversation_roundtrip(
+        tr, kind="rs", dict_size=255, precoding=t.tolist(), n=128, k=124
+    ).select("conv_id", "n_turns", "orig_bytes", "roundtrip_ok")
+
+
 def _q_gd_chunk_stats(spark, sf_dir):
     """Chunker semantics (A5: fixed n-byte grid + last-chunk zero pad,
     `gd_byte_unit.rs:42-65`) verified against SQL arithmetic: the chunk
@@ -315,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg_segment": _q_join_agg,
         "substring_pairs": _q_substring_pairs,
         "gd_roundtrip": _q_gd_roundtrip,
+        "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
         "gd_chunk_stats": _q_gd_chunk_stats,
         "transcript_clusters": _q_transcript_clusters,
         "multimodal_features": _q_multimodal_features,
@@ -492,6 +512,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "substring_pairs": _SUBSTRING_SQL,
         "gd_roundtrip": """
+            select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
+                   count(*)::int as n_turns,
+                   sum(8 + octet_length(encode(text)))::bigint as orig_bytes,
+                   true as roundtrip_ok
+            from documents group by 1
+        """,
+        "gd_roundtrip_aligned": """
             select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
                    count(*)::int as n_turns,
                    sum(8 + octet_length(encode(text)))::bigint as orig_bytes,

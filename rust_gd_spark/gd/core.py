@@ -219,14 +219,28 @@ class BitGD:
         return np.packbits(np.concatenate(out_bits)).tobytes()
 
 
-def make_gd(kind: str, dict_size: int, **params) -> ByteGD | BitGD:
+def make_gd(
+    kind: str, dict_size: int, precoding=None, **params
+) -> ByteGD | BitGD:
     """Factory mirroring ``GD::setup`` (`src/lib.rs:21-41`).
 
     make_gd("rs", dict_size, n=128, k=124) or
     make_gd("hamming", dict_size, deg=8).
+
+    ``precoding``: optional n×n error-alignment matrix T (RS only — the
+    reference's third entry point, `src/lib.rs:73-78`; Hamming errors out
+    exactly as the reference does, `src/gd_bit_unit.rs` has no T hook).
     """
     if kind == "rs":
-        return ByteGD(ReedSolomon(params["n"], params["k"]), dict_size)
+        gd = ByteGD(ReedSolomon(params["n"], params["k"]), dict_size)
+        if precoding is not None:
+            gd.set_error_alignment(np.asarray(precoding, dtype=np.uint8))
+        return gd
     if kind == "hamming":
+        if precoding is not None:
+            raise ValueError(
+                "error alignment is not supported for Hamming "
+                "(mirrors `src/lib.rs:73-78` returning an error)"
+            )
         return BitGD(Hamming(params["deg"]), dict_size)
     raise ValueError(f"unknown GD kind {kind!r}")

@@ -63,14 +63,21 @@ def deserialize_turns(buf: bytes) -> tuple[list[int], list[str]]:
 _RS_CACHE: dict = {}
 
 
-def _rs_cached(n: int, k: int):
-    """Per-executor-process ReedSolomon cache: the generator matrix is built
-    once per (n, k) per Python worker, not once per pandas group."""
+def _rs_cached(n: int, k: int, precoding=None):
+    """Per-executor-process ReedSolomon cache: the generator matrix (and
+    T^-1 when error alignment is installed) is built once per
+    (n, k, T) per Python worker, not once per pandas group."""
     from .rs import ReedSolomon
 
-    key = (n, k)
+    tkey = None if precoding is None else np.asarray(
+        precoding, dtype=np.uint8
+    ).tobytes()
+    key = (n, k, tkey)
     if key not in _RS_CACHE:
-        _RS_CACHE[key] = ReedSolomon(n, k)
+        code = ReedSolomon(n, k)
+        if precoding is not None:
+            code.set_precoding(np.asarray(precoding, dtype=np.uint8))
+        _RS_CACHE[key] = code
     return _RS_CACHE[key]
 
 
@@ -94,23 +101,32 @@ def gd_conversation_roundtrip(
     transcripts: DataFrame,
     kind: str = "rs",
     dict_size: int = 255,
+    precoding=None,
     **params,
 ) -> DataFrame:
     """Per-conversation GD dedup + dup + per-turn equality check.
 
     Returns one row per conversation with dedup metrics and the round-trip
-    verdict. ``params`` are the code params (n=, k= for rs; deg= for hamming).
+    verdict. ``params`` are the code params (n=, k= for rs; deg= for
+    hamming). ``precoding``: optional n×n error-alignment matrix T (RS
+    only) — the Spark surface of the reference's third entry point
+    (`src/lib.rs:73-78`); the encode side applies T, the decode side T^-1,
+    and the round-trip equality check covers both (mirrors the RS(4,3)+T
+    test, `src/lib.rs:197-239`).
     """
     if not params:
         params = {"n": 128, "k": 124}
+    if precoding is not None:
+        # plain nested lists serialize into the UDF closure
+        precoding = np.asarray(precoding, dtype=np.uint8).tolist()
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values("turn_idx")
         texts = group["text"].tolist()
         idxs = group["turn_idx"].astype(int).tolist()
         buf = serialize_turns(idxs, texts)
-        gd_dedup = make_gd(kind, dict_size, **params)
-        gd_dup = make_gd(kind, dict_size, **params)
+        gd_dedup = make_gd(kind, dict_size, precoding=precoding, **params)
+        gd_dup = make_gd(kind, dict_size, precoding=precoding, **params)
         deduped = gd_dedup.dedup(buf)
         restored = gd_dup.dup(deduped)
         ok = deserialize_turns(restored) == (idxs, texts)
@@ -148,15 +164,21 @@ CHUNK_SCHEMA = T.StructType(
 
 
 def gd_decompose(
-    transcripts: DataFrame, n: int = 128, k: int = 124
+    transcripts: DataFrame, n: int = 128, k: int = 124, precoding=None
 ) -> DataFrame:
     """Chunk + RS-decompose every conversation into base/deviation rows.
 
     One shuffle (groupBy conv_id); decode is numpy-batched over all chunks
-    of a conversation at once inside the Arrow batch.
+    of a conversation at once inside the Arrow batch. ``precoding``:
+    optional n×n error-alignment matrix T — decompose then operates on
+    c·T (`rs/mod.rs:105-114`), moving 'fluctuating' symbol positions into
+    the deviation so more bases coincide (`DESIGN.md:62-109`).
     """
+    if precoding is not None:
+        precoding = np.asarray(precoding, dtype=np.uint8).tolist()
+
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        code = _rs_cached(n, k)
+        code = _rs_cached(n, k, precoding)
         group = group.sort_values("turn_idx")
         buf = serialize_turns(
             group["turn_idx"].astype(int).tolist(), group["text"].tolist()
@@ -239,11 +261,18 @@ TURNS_SCHEMA = T.StructType(
 )
 
 
-def gd_reconstruct(chunks: DataFrame, n: int = 128, k: int = 124) -> DataFrame:
-    """Inverse of gd_decompose: re-encode chunks, reassemble conversations
-    in chunk order, deserialize back to (conv_id, turn_idx, text) rows."""
+def gd_reconstruct(
+    chunks: DataFrame, n: int = 128, k: int = 124, precoding=None
+) -> DataFrame:
+    """Inverse of gd_decompose: re-encode chunks (applying T^-1 last when
+    error alignment is installed, `rs/mod.rs:147-152`), reassemble
+    conversations in chunk order, deserialize back to
+    (conv_id, turn_idx, text) rows."""
+    if precoding is not None:
+        precoding = np.asarray(precoding, dtype=np.uint8).tolist()
+
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        code = _rs_cached(n, k)
+        code = _rs_cached(n, k, precoding)
         group = group.sort_values("chunk_idx")
         bases = np.frombuffer(b"".join(group["base"]), dtype=np.uint8).reshape(-1, k)
         devs = np.frombuffer(b"".join(group["deviation"]), dtype=np.uint8).reshape(

@@ -283,6 +283,7 @@ def embedding_candidate_pairs(
     bands: int,
     max_bucket_size: int = 2000,
     neighbor_window: int | None = None,
+    salt_oversized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket pairs on (band_idx, band_val) carrying both packed signatures.
 
@@ -307,6 +308,7 @@ def embedding_candidate_pairs(
         max_bucket_size=max_bucket_size,
         neighbor_window=neighbor_window,
         materialize=False,
+        salt_oversized=salt_oversized,
     )
 
 

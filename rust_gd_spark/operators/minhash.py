@@ -170,6 +170,7 @@ def lsh_candidate_pairs(
     bands_df: DataFrame,
     max_bucket_size: int = 2000,
     neighbor_window: int | None = None,
+    salt_oversized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket pairs on (band_idx, band_hash) → distinct pairs (id_l < id_r).
 
@@ -190,6 +191,7 @@ def lsh_candidate_pairs(
         max_bucket_size=max_bucket_size,
         neighbor_window=neighbor_window,
         materialize=False,  # 32×-exploded band table: recompute beats storing
+        salt_oversized=salt_oversized,
     )
     return raw.dropDuplicates(["id_l", "id_r"]), audit
 

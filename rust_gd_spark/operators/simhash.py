@@ -172,6 +172,7 @@ def simhash_candidate_pairs(
     max_bucket_size: int = 2000,
     neighbor_window: int | None = None,
     materialize: bool = True,
+    salt_oversized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket pairs on (band_idx, band_val) carrying both fps.
 
@@ -193,6 +194,7 @@ def simhash_candidate_pairs(
         # fp table (the pipeline stages fps); True when fps are computed
         # inline (standalone simhash_near_dup_pairs).
         materialize=materialize,
+        salt_oversized=salt_oversized,
     )
 
 

@@ -136,6 +136,7 @@ def substring_candidate_pairs(
     fps: DataFrame,
     max_posting_size: int = 2000,
     neighbor_window: int | None = None,
+    salt_oversized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Inverted-index bucket pairs on shared fingerprints → distinct pairs.
 
@@ -151,6 +152,7 @@ def substring_candidate_pairs(
         ["fp"],
         max_bucket_size=max_posting_size,
         neighbor_window=neighbor_window,
+        salt_oversized=salt_oversized,
     )
     return raw.dropDuplicates(["id_l", "id_r"]), audit
 

@@ -46,6 +46,12 @@ class DedupConfig:
     # pair blow-up to O(m·K) while CC restores full clusters via chain +
     # band redundancy. None = exact all-pairs (small corpora / oracles).
     neighbor_window: int | None = 8
+    # salt-and-keep for buckets over max_bucket_size (SURVEY.md §4.2):
+    # hash-split hot buckets into ~cap-sized sub-buckets + chain their
+    # representatives — connectivity (and therefore clustering recall) is
+    # preserved with O(size) edges instead of dropping the bucket. Audited
+    # either way (action='salted'/'dropped').
+    salt_oversized: bool = True
     # substring verify: threshold decision only (False) vs exact LCS length
     # (True). Clustering needs the decision; exact length is ~10× slower on
     # long documents.
@@ -244,7 +250,8 @@ def near_dup_pipeline(
             ).localCheckpoint(eager=True)
             bands = minhash.lsh_bands(sig, cfg.bands, cfg.rows)
             return minhash.lsh_candidate_pairs(
-                bands, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window
+                bands, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window,
+                salt_oversized=cfg.salt_oversized,
             )
 
         cand, audit = _staged_candidates("minhash", _mh_cands)
@@ -274,6 +281,7 @@ def near_dup_pipeline(
                 cfg.max_bucket_size,
                 neighbor_window=cfg.neighbor_window,
                 materialize=False,
+                salt_oversized=cfg.salt_oversized,
             )
 
         # the audit derives from the compact bucket-count agg — persist it
@@ -295,7 +303,8 @@ def near_dup_pipeline(
             w = cfg.min_substring_len - k + 1
             fps = substring.winnow_fingerprints(reps, "id", "text", k=k, w=w)
             return substring.substring_candidate_pairs(
-                fps, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window
+                fps, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window,
+                salt_oversized=cfg.salt_oversized,
             )
 
         cand, audit = _staged_candidates("substring", _ss_cands)

@@ -72,3 +72,59 @@ def test_multiple_buckets_same_pair_not_deduped(spark):
     pairs, _ = bucket_pairs(df, ["k"], max_bucket_size=10)
     assert pairs.count() == 2
     assert pairs.dropDuplicates(["id_l", "id_r"]).count() == 1
+
+
+def _connectivity(pairs_set, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs_set:
+        if a not in parent or b not in parent:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {find(n) for n in nodes}
+
+
+def test_salt_oversized_preserves_connectivity(spark):
+    # one hot bucket of 12 members, cap 4 -> 3 hash sub-buckets + rep chain
+    rows = [(i, "hot") for i in range(12)] + [(100, "b"), (101, "b")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    pairs, audit = bucket_pairs(df, ["k"], max_bucket_size=4, salt_oversized=True)
+    got = _pairs_set(pairs)
+    # the hot bucket's 12 members must form ONE connected component
+    comps = _connectivity(got, set(range(12)))
+    assert len(comps) == 1, comps
+    # no single explosion exceeded ~cap members: pair count is O(size), not C(12,2)
+    hot_pairs = {p for p in got if p[0] < 100}
+    assert len(hot_pairs) < 66  # C(12,2) = 66 would mean the cap was ignored
+    a = audit.collect()
+    assert len(a) == 1 and a[0].k == "hot" and a[0].bucket_size == 12
+    assert a[0].action == "salted"
+    # untouched small bucket still emits its pair
+    assert (100, 101) in got
+
+
+def test_salt_oversized_with_neighbor_window(spark):
+    rows = [(i, "hot") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    pairs, audit = bucket_pairs(
+        df, ["k"], max_bucket_size=5, neighbor_window=2, salt_oversized=True
+    )
+    got = _pairs_set(pairs)
+    comps = _connectivity(got, set(range(20)))
+    assert len(comps) == 1
+    # band-graph bound holds inside sub-buckets: edges are O(size * window)
+    assert len(got) <= 20 * 2 + 20
+    assert audit.collect()[0].action == "salted"
+
+
+def test_dropped_action_in_audit(spark, posting):
+    _, audit = bucket_pairs(posting, ["k"], max_bucket_size=4)
+    assert audit.collect()[0].action == "dropped"

@@ -96,3 +96,63 @@ def test_signature_determinism(spark, planted):
     c = {r.id: r.fp for r in emb.hyperplane_signatures(df, seed=8).collect()}
     assert a == b
     assert a != c
+
+
+def test_bruteforce_guard_raises_on_oversized_ref(spark, planted):
+    df, _, _ = planted
+    with pytest.raises(ValueError, match="max_ref_rows"):
+        emb.cosine_topk_bruteforce(df, k=3, max_ref_rows=10)
+    with pytest.raises(ValueError, match="max_ref_rows"):
+        emb.cosine_pairs_bruteforce(df, threshold=0.9, max_ref_rows=10)
+
+
+def test_bruteforce_query_df_restricts_neighbors(spark, planted):
+    df, _, _ = planted
+    q = df.filter("vec_id < 10")
+    got = emb.cosine_topk_bruteforce(df, k=3, query_df=q).collect()
+    assert {r.neighbor_id for r in got} <= set(range(10))
+    assert all(r.id != r.neighbor_id for r in got)
+
+
+def test_candidate_pairs_one_shuffle_and_audit(spark, planted):
+    df, _, _ = planted
+    sigs = emb.hyperplane_signatures(df, nbits=64, seed=7)
+    pairs, audit = emb.embedding_candidate_pairs(sigs, nbits=64, bands=8,
+                                                 max_bucket_size=3)
+    # audit reports oversized buckets with the shared schema
+    cols = set(audit.columns)
+    assert {"band_idx", "band_val", "bucket_size", "action"} <= cols
+    # physical plan: no Window operator in candidate generation
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_multiword_signatures_roundtrip(spark, planted):
+    df, M, _ = planted
+    rows = emb.hyperplane_signatures(df, nbits=256, seed=7).collect()
+    assert all(len(r.fp) == 4 for r in rows)
+    # matches the reference numpy computation bit-for-bit
+    import numpy as _np
+
+    stored = {r.vec_id: _np.array(r.embedding, dtype=_np.float64)
+              for r in df.collect()}
+    rng = _np.random.default_rng(7)
+    planes = rng.standard_normal((32, 256))
+    for r in rows[:20]:
+        v = stored[r.id]
+        v = v / _np.linalg.norm(v)
+        bits = (v @ planes) >= 0
+        words = []
+        for w in range(4):
+            x = 0
+            for j in range(64):
+                if bits[w * 64 + j]:
+                    x |= 1 << j
+            words.append(x - (1 << 64) if x >= (1 << 63) else x)
+        assert list(r.fp) == words, r.id
+
+
+def test_prefilter_cutoff_monotone():
+    assert emb.prefilter_hamming_cutoff(0.9, 64) < emb.prefilter_hamming_cutoff(0.5, 64)
+    assert emb.prefilter_hamming_cutoff(0.9, 64) >= 9   # >= mean bits
+    assert emb.prefilter_hamming_cutoff(0.35, 256) <= 256

@@ -178,3 +178,87 @@ def test_conversation_reassembly_stable_order(spark, transcripts_df):
     )
     assert row.text == "\n".join(r.text for r in src)
     assert conv.count() == transcripts_df.select("conv_id").distinct().count()
+
+
+def test_audits_populated_on_resume(spark, turns_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt_audit")
+    r1 = near_dup_pipeline(turns_df, "uid", "text", checkpoint_dir=ckpt, run_id="ra")
+    assert set(r1.audits) == {"lsh_skew", "simhash_skew", "substring_skew"}
+    # fully-resumed run: audits must be read back from parquet, not empty
+    r2 = near_dup_pipeline(turns_df, "uid", "text", checkpoint_dir=ckpt, run_id="ra")
+    assert all(r.resumed for r in r2.metrics.collect())
+    assert set(r2.audits) == {"lsh_skew", "simhash_skew", "substring_skew"}
+    for name, adf in r2.audits.items():
+        assert "bucket_size" in adf.columns and "action" in adf.columns, name
+        adf.count()  # readable
+
+
+def test_write_read_outputs_roundtrip(spark, turns_df, tmp_path):
+    import json
+    import os as _os
+
+    from rust_gd_spark.pipeline import read_outputs, write_outputs
+
+    out = str(tmp_path / "out")
+    res = near_dup_pipeline(turns_df, "uid", "text")
+    manifest = write_outputs(res, out, run_id="w1")
+    assert set(manifest["tables"]) == {"clusters", "pairs", "metrics", "lineage"}
+    assert _os.path.exists(_os.path.join(out, "w1", "manifest.json"))
+    with open(_os.path.join(out, "w1", "manifest.json")) as fh:
+        assert json.load(fh)["run_id"] == "w1"
+
+    back = read_outputs(spark, out, run_id="w1")
+    c1 = sorted((r.id, r.cluster_id) for r in res.clusters.collect())
+    c2 = sorted((r.id, r.cluster_id) for r in back.clusters.collect())
+    assert c1 == c2
+    assert back.pairs.count() == res.pairs.count()
+    assert set(back.audits) == set(res.audits)
+
+
+def test_write_read_gd_outputs_roundtrip(spark, transcripts_df, tmp_path):
+    from rust_gd_spark.gd.spark import gd_decompose, gd_reconstruct
+    from rust_gd_spark.pipeline import read_gd_outputs, write_gd_outputs
+
+    out = str(tmp_path / "gdout")
+    convs = [r.conv_id for r in
+             transcripts_df.select("conv_id").distinct().limit(5).collect()]
+    tr = transcripts_df.filter(F.col("conv_id").isin(convs))
+    chunks = gd_decompose(tr, n=128, k=124)
+    write_gd_outputs(chunks, out, run_id="g1")
+    restored = gd_reconstruct(read_gd_outputs(spark, out, run_id="g1"), n=128, k=124)
+    orig = tr.select("conv_id", "turn_idx", "text")
+    assert restored.exceptAll(orig).isEmpty()
+    assert orig.exceptAll(restored).isEmpty()
+
+
+def test_path_toggles_disable_stages(spark, turns_df):
+    res = near_dup_pipeline(
+        turns_df, "uid", "text",
+        DedupConfig(enable_simhash=False, enable_substring=False),
+    )
+    stages = {r.stage for r in res.metrics.collect()}
+    assert "simhash_pairs" not in stages and "substring_pairs" not in stages
+    assert "minhash_pairs" in stages
+    paths = {r.path for r in res.pairs.select("path").distinct().collect()}
+    assert paths <= {"exact", "minhash"}
+
+
+def test_canonical_clusters_relabel(spark, turns_df):
+    from rust_gd_spark.pipeline import canonical_clusters
+
+    res = near_dup_pipeline(turns_df, "uid", "text")
+    canon = canonical_clusters(res.clusters)
+    rows = canon.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.cluster_id, []).append(r.id)
+    for label, members in by.items():
+        assert label == min(members)
+    # same partition as the raw labels
+    raw = {r.id: r.cluster_id for r in res.clusters.collect()}
+    canon_map = {r.id: r.cluster_id for r in rows}
+    import itertools as _it
+
+    sample = list(raw)[:200]
+    for a, b in _it.combinations(sample, 2):
+        assert (raw[a] == raw[b]) == (canon_map[a] == canon_map[b])
