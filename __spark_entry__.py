@@ -333,6 +333,21 @@ def _q_gd_chunk_stats(spark, sf_dir):
     )
 
 
+def _q_conv_repetition(spark, sf_dir):
+    """Per-conversation suffix-array repetition profile (SURVEY.md §7 S3).
+    ``n_rep_grams`` (distinct repeated 64-byte windows of the turn-ordered
+    joined text) is oracle-checked against a DuckDB window self-count;
+    ``lrs_len`` (longest repeated substring, exact from the LCP array) has
+    no SQL equivalent and is pinned against brute force in
+    tests/test_suffixarray.py instead."""
+    from rust_gd_spark.operators.suffixarray import conversation_repetition
+
+    tr = _transcripts_from_docs(spark, sf_dir)
+    return conversation_repetition(tr, k=64).select(
+        "conv_id", "conv_bytes", "n_rep_grams"
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from rust_gd_spark.multimodal import extract_features, synth_assets
 
@@ -362,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
         "gd_chunk_stats": _q_gd_chunk_stats,
         "transcript_clusters": _q_transcript_clusters,
+        "conv_repetition": _q_conv_repetition,
         "multimodal_features": _q_multimodal_features,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
@@ -563,6 +579,27 @@ def oracle_sql() -> dict[str, str]:
             from conv
         """,
         "transcript_clusters": _CLUSTERS_SQL,
+        "conv_repetition": """
+            with conv as (
+              select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
+                     string_agg(text, chr(10) order by doc_id) as t
+              from documents group by 1
+            ),
+            wins as (
+              select conv_id, substr(t, i, 64) as g
+              from conv, unnest(range(1, length(t) - 62)) as u(i)
+              where length(t) >= 64
+            ),
+            rep as (
+              select conv_id, count(*) as n
+              from (select conv_id, g from wins
+                    group by conv_id, g having count(*) >= 2)
+              group by conv_id
+            )
+            select c.conv_id, length(c.t)::bigint as conv_bytes,
+                   coalesce(r.n, 0)::bigint as n_rep_grams
+            from conv c left join rep r using (conv_id)
+        """,
         "multimodal_features": """
             select doc_id as asset_id,
                    (['image','audio','video'])[(doc_id % 3 + 1)::int] as kind,

@@ -115,16 +115,26 @@ def bucket_pairs(
     # arrays and spills. The count agg shuffles compact (key, n) rows, the
     # surviving multi-member key set is small (O(duplicate pairs)) so AQE
     # picks a broadcast join, and only the pruned rows pay the list agg.
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
+    # Singletons (the overwhelming majority under high-entropy keys) are
+    # useless to every consumer below — prune them INSIDE the agg output,
+    # so the surviving counts table is O(duplicate content), not O(corpus).
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") >= 2)
+    )
+    if salt_oversized:
+        # The pruned counts table is tiny; checkpointing it lets the
+        # oversized-bucket probe below (and the caller's audit stage) reuse
+        # one computation instead of re-deriving the posting agg per scan.
+        counts = counts.localCheckpoint(eager=True)
     over = counts.filter(F.col("bucket_size") > max_bucket_size)
     audit = over.select(
         *key_cols,
         "bucket_size",
         F.lit("salted" if salt_oversized else "dropped").alias("action"),
     )
-    multi = counts.filter(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= max_bucket_size)
-    ).select(*key_cols)
+    multi = counts.filter(F.col("bucket_size") <= max_bucket_size).select(*key_cols)
     ok = (
         df.join(multi, key_cols)
         .groupBy(*key_cols)
@@ -133,7 +143,11 @@ def bucket_pairs(
     )
     pairs = _explode_pairs(ok, payload_cols, neighbor_window)
 
-    if salt_oversized:
+    # The salted branch adds two more scans of the posting table (the
+    # oversized join + the representative agg). Hot buckets are the
+    # exception, not the rule — probe the checkpointed counts and build the
+    # branch only when an oversized bucket actually exists.
+    if salt_oversized and not over.isEmpty():
         # Salt-and-keep: split each hot bucket into ceil(size/cap) hash
         # sub-buckets (AQE-splittable agg on the wider key; each task sees
         # ~cap members whp), pair within sub-buckets, then CHAIN the

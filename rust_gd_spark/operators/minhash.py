@@ -59,6 +59,103 @@ def tokenize(col):
     return F.split(normalize_text(col), r"\s+")
 
 
+_SH_B = np.uint64(1_000_003)  # polynomial base for shingle span hashes
+
+
+def _prefix_poly(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``(H, powB)`` for byte array ``flat``: H[i] = poly hash of flat[:i]
+    (Horner, base _SH_B, mod 2^64 wrap), powB[k] = _SH_B^k. The Horner
+    recurrence is sequential, but (p, h) ∘ (p', h') = (p·p', h·p' + h') is
+    associative — a Hillis-Steele doubling scan gives H in log₂(n)
+    vectorized passes, no per-byte Python."""
+    n = len(flat)
+    h = flat.astype(np.uint64)
+    p = np.full(n, _SH_B, dtype=np.uint64)
+    shift = 1
+    while shift < n:
+        h[shift:] = h[:-shift] * p[shift:] + h[shift:]
+        p[shift:] = p[:-shift] * p[shift:]
+        shift <<= 1
+    H = np.empty(n + 1, dtype=np.uint64)
+    H[0] = 0
+    H[1:] = h
+    powB = np.empty(n + 1, dtype=np.uint64)
+    powB[0] = 1
+    np.cumprod(np.full(n, _SH_B, dtype=np.uint64), out=powB[1:])
+    return H, powB
+
+
+def _shingle_hash_batch(texts: list[str], w: int) -> list[np.ndarray]:
+    """Distinct sorted w-gram span hashes per NORMALIZED text.
+
+    One concatenated byte buffer per call: prefix poly hashes (log-passes),
+    token boundaries from the single-space structure of normalized text,
+    then every shingle hash as H[end] − H[start]·B^(end−start) — a fully
+    vectorized gather across ALL rows at once. A w-gram's hash is the hash
+    of its byte span "tok_i … tok_{i+w-1}" (single-spaced), an injective
+    encoding of the w-gram, so Jaccard over these sets equals Jaccard over
+    the string w-grams (what the DuckDB oracle computes). Rows shorter than
+    w tokens contribute their whole trimmed text as a single shingle;
+    empty rows hash to the constant 0.
+    """
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    row_off = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    n = len(flat)
+    H, powB = _prefix_poly(flat)
+
+    span = lambda s, e: H[e] - H[s] * powB[e - s]  # noqa: E731
+
+    if n == 0:
+        return [np.zeros(1, dtype=np.int64) for _ in enc]
+
+    # token boundaries: normalized text is single-spaced and trimmed, so a
+    # token starts at a non-space whose predecessor is a space or a row
+    # start, and ends before a space or row end.
+    nonspace = flat != 0x20
+    prev_ns = np.empty(n, dtype=bool)
+    prev_ns[0] = False
+    prev_ns[1:] = nonspace[:-1]
+    next_ns = np.empty(n, dtype=bool)
+    next_ns[-1] = False
+    next_ns[:-1] = nonspace[1:]
+    is_row_start = np.zeros(n + 1, dtype=bool)
+    is_row_start[row_off[:-1]] = True
+    t_start = np.where(nonspace & (~prev_ns | is_row_start[:n]))[0]
+    t_end = np.where(nonspace & (~next_ns | is_row_start[1 : n + 1]))[0] + 1
+    t_row = np.searchsorted(row_off, t_start, side="right") - 1
+
+    # per-row token counts -> which rows take the w-gram path
+    m = np.bincount(t_row, minlength=len(enc))
+    out_vals: list[np.ndarray] = []
+    out_rows: list[np.ndarray] = []
+    if len(t_start) >= w:
+        same_row = t_row[: len(t_row) - w + 1] == t_row[w - 1 :]
+        s = t_start[: len(t_start) - w + 1][same_row]
+        e = t_end[w - 1 :][same_row]
+        out_vals.append(span(s, e))
+        out_rows.append(t_row[: len(t_row) - w + 1][same_row])
+    short = np.where(m < w)[0]
+    if len(short):
+        s = row_off[short]
+        e = row_off[short + 1]
+        out_vals.append(span(s, e))
+        out_rows.append(short)
+
+    vals = np.concatenate(out_vals) if out_vals else np.empty(0, dtype=np.uint64)
+    rows = np.concatenate(out_rows) if out_rows else np.empty(0, dtype=np.int64)
+    # global (row, value) sort + dedup, then split into per-row arrays
+    order = np.lexsort((vals, rows))
+    rows, vals = rows[order], vals[order]
+    keep = np.empty(len(vals), dtype=bool)
+    keep[:1] = True
+    keep[1:] = (rows[1:] != rows[:-1]) | (vals[1:] != vals[:-1])
+    rows, vals = rows[keep], vals[keep].view(np.int64)
+    counts = np.bincount(rows, minlength=len(enc))
+    return np.split(vals, np.cumsum(counts)[:-1])
+
+
 def shingle_df(
     df: DataFrame,
     id_col: str = "uid",
@@ -68,29 +165,45 @@ def shingle_df(
 ) -> DataFrame:
     """Per-row distinct w-shingles: ``(id, shingles array<long|string>)``.
 
-    All JVM-side: split → transform(sequence) → array_distinct. Documents
-    shorter than ``w`` tokens contribute their full token string as a single
-    shingle (so short rows still participate).
+    ``hashed=True`` (the scale path): normalization stays JVM-side
+    (codegen scalar expressions), then ONE Arrow-vectorized pandas UDF
+    computes all shingle hashes per batch via prefix polynomial hashing —
+    see ``_shingle_hash_batch``. The previous all-JVM formulation
+    (``transform(sequence, xxhash64(slice(...)))``) ran in Catalyst's
+    expression INTERPRETER (higher-order functions don't participate in
+    whole-stage codegen) and measured ~10× slower with a long
+    parallelism-invariant JIT-warmup tail. Jaccard over distinct shingles
+    is invariant under any injective shingle hash, which is why the DuckDB
+    string-shingle oracle still matches.
+
+    Documents shorter than ``w`` tokens contribute their full trimmed text
+    as a single shingle (so short rows still participate).
     """
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
     if hashed:
-        # hash the w-token slice ARRAY directly (xxhash64 accepts arrays):
-        # skips building n gram strings per row — pure overhead, since
-        # Jaccard over distinct shingles is invariant under any injective
-        # shingle hash (which is also why the DuckDB string-shingle oracle
-        # still matches).
-        grams = F.when(
-            n >= w,
-            F.transform(
-                F.sequence(F.lit(0), n - w),
-                lambda i: F.xxhash64(F.slice(toks, i + 1, w)),
-            ),
-        ).otherwise(F.array(F.xxhash64(toks)))
+        _CHUNK_BYTES = 1 << 20  # bound kernel scratch (~5 arrays × 8n bytes)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def shingle_udf(norm: pd.Series) -> pd.Series:
+            texts = list(norm)
+            out: list[np.ndarray] = []
+            i, n_rows = 0, len(texts)
+            while i < n_rows:
+                j, tot = i, 0
+                while j < n_rows and (
+                    tot == 0 or tot + len(texts[j]) <= _CHUNK_BYTES
+                ):
+                    tot += len(texts[j])
+                    j += 1
+                out.extend(_shingle_hash_batch(texts[i:j], w))
+                i = j
+            return pd.Series(out)
+
         return df.select(
             F.col(id_col).alias("id"),
-            F.array_sort(F.array_distinct(grams)).alias("shingles"),
+            shingle_udf(normalize_text(F.col(text_col))).alias("shingles"),
         )
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
     grams = F.when(
         n >= w,
         F.transform(

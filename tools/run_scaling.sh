@@ -32,7 +32,8 @@ for CORES in "$N_SMALL" "$N_BIG"; do
     --driver-memory 24g \
     --py-files dist/rust_gd_spark.zip \
     tools/scaling_bench.py \
-    --data "$SCRATCH" --cores "$CORES" --granularity "$GRAN" --out "$RESULTS" 2>/dev/null
+    --data "$SCRATCH" --cores "$CORES" --granularity "$GRAN" --out "$RESULTS" \
+    ${SCALING_FLAGS:-} 2>/dev/null
 done
 
 python - "$RESULTS" "$N_SMALL" "$N_BIG" <<'EOF'

@@ -32,6 +32,15 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--granularity", choices=["turn", "conv"], default="turn")
     ap.add_argument("--out", default=None, help="append JSON line here")
+    ap.add_argument(
+        "--collect-stats", action="store_true",
+        help="include per-stage partition-count/lineage jobs in the timed "
+        "region (correctness-run behavior); off for pure throughput legs",
+    )
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="print per-stage wall_ms after the run (scaling diagnosis)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -67,9 +76,26 @@ def main() -> None:
         base = reassemble_conversations(transcripts)
 
     t0 = time.monotonic()
-    result = near_dup_pipeline(base, "uid", "text")
+    result = near_dup_pipeline(
+        base, "uid", "text", collect_stats=args.collect_stats
+    )
     n_clusters = result.clusters.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
+
+    if args.profile:
+        lin = {}
+        if args.collect_stats:
+            for r in result.lineage.collect():
+                lin.setdefault(r.stage, []).append(int(r.rows))
+        for run_id, stage, rows, wall_ms, resumed in sorted(
+            result.metrics.collect(), key=lambda r: -r[3]
+        ):
+            parts = sorted(lin.get(stage, []), reverse=True)
+            extra = (
+                f" parts={len(parts)} max={parts[0]} med={parts[len(parts)//2]}"
+                if parts else ""
+            )
+            print(f"  stage {stage:24s} {wall_ms/1000.0:8.2f}s rows={rows}{extra}")
 
     rec = {
         "metric": "dedup_throughput_turns_per_sec",
