@@ -265,6 +265,73 @@ def minhash_signatures(
     return shingles.select("id", sig_udf("shingles").alias("sig"))
 
 
+def minhash_band_hashes(
+    shingles: DataFrame,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """``(id, bands array<long>[bands])`` — MinHash signature + LSH band
+    hashing FUSED in one vectorized kernel.
+
+    The two-step form (``minhash_signatures`` → ``lsh_bands``) ships the
+    full ``num_perm``-long signature through Arrow/checkpoint and computes
+    band hashes with ``transform(sequence, xxhash64(slice(sig)))`` — a
+    higher-order expression Catalyst executes in its INTERPRETER (HOFs do
+    not enter whole-stage codegen), and ``bucket_pairs`` re-derives that
+    band table on every scan. Fusing moves the band hash into the same
+    numpy pass that owns the signature matrix: the staged table shrinks
+    ``num_perm/bands``× (32 longs → one per band) and the band explode
+    becomes a bare codegen ``posexplode``. Bucketing semantics are
+    identical — a band hash is a deterministic injective-up-to-collision
+    digest of the band's signature slice either way. The two-step form
+    stays for signature-level inspection/tests.
+    """
+    assert bands * rows == num_perm
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
+
+    from ._vectorize import iter_segments
+
+    _BUDGET = 1 << 11
+    scratch: dict = {}
+
+    def _buf(n: int) -> np.ndarray:
+        buf = scratch.get("v")
+        if buf is None or buf.shape[0] < n:
+            buf = np.empty((max(n, _BUDGET), num_perm), dtype=np.uint64)
+            scratch["v"] = buf
+        return buf[:n]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_udf(col: pd.Series) -> pd.Series:
+        sig = np.full((len(col), num_perm), _MAX_HASH, dtype=np.uint64)
+        for idx, flat, starts in iter_segments(col, budget=_BUDGET):
+            v = _buf(len(flat))
+            np.multiply(flat.astype(np.uint64)[:, None], a[None, :], out=v)
+            np.add(v, b[None, :], out=v)
+            np.bitwise_and(v, _MAX_HASH, out=v)
+            sig[idx] = np.minimum.reduceat(v, starts, axis=0)
+        m = sig.reshape(len(col), bands, rows)
+        h = m[:, :, 0].copy()
+        for j in range(1, rows):
+            np.multiply(h, _SH_B, out=h)
+            np.add(h, m[:, :, j], out=h)
+        return pd.Series(list(h.view(np.int64)))
+
+    return shingles.select("id", band_udf("shingles").alias("bands"))
+
+
+def explode_band_hashes(band_df: DataFrame) -> DataFrame:
+    """``(id, band_idx, band_hash)`` from the fused band table — one
+    codegen ``posexplode``, nothing interpreted."""
+    return band_df.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+
+
 def lsh_bands(signatures: DataFrame, bands: int = 32, rows: int = 4) -> DataFrame:
     """Explode signatures into ``(id, band_idx, band_hash)``.
 
@@ -353,13 +420,13 @@ def minhash_near_dup_pairs(
     # shingles feed three consumers (signatures + both verify sides);
     # eager materialization computes the shingling exactly once.
     sh = shingle_df(df, id_col, text_col, w=w).localCheckpoint(eager=True)
-    # checkpoint the signature table too: bucket_pairs scans its input
-    # twice (count agg + prune join) and the signature UDF is this
+    # checkpoint the fused band-hash table: bucket_pairs scans its input
+    # twice (count agg + prune join) and the signature kernel is this
     # operator's dominant cost — the band explode re-derives cheaply.
-    sig = minhash_signatures(sh, num_perm=num_perm, seed=seed).localCheckpoint(
-        eager=True
-    )
-    bandsdf = lsh_bands(sig, bands=bands, rows=rows)
+    bh = minhash_band_hashes(
+        sh, num_perm=num_perm, bands=bands, rows=rows, seed=seed
+    ).localCheckpoint(eager=True)
+    bandsdf = explode_band_hashes(bh)
     pairs, _ = lsh_candidate_pairs(bandsdf, max_bucket_size=max_bucket_size)
     # materialize the (small) candidate table before the verify joins
     pairs = pairs.localCheckpoint(eager=True)

@@ -241,14 +241,15 @@ def near_dup_pipeline(
         )
 
         def _mh_cands():
-            # Checkpoint the SIGNATURE table (compact: num_perm longs/row),
-            # not the bands×-exploded band table: bucket_pairs scans its
+            # Checkpoint the FUSED band-hash table (bands longs/row — see
+            # minhash.minhash_band_hashes), not the num_perm-long signature
+            # or the bands×-exploded band table: bucket_pairs scans its
             # input twice (count agg + prune join), and without this the
-            # signature UDF — the path's dominant cost — ran twice.
-            sig = minhash.minhash_signatures(
-                shingles, cfg.num_perm, cfg.seed
+            # signature kernel — the path's dominant cost — ran twice.
+            bh = minhash.minhash_band_hashes(
+                shingles, cfg.num_perm, cfg.bands, cfg.rows, cfg.seed
             ).localCheckpoint(eager=True)
-            bands = minhash.lsh_bands(sig, cfg.bands, cfg.rows)
+            bands = minhash.explode_band_hashes(bh)
             return minhash.lsh_candidate_pairs(
                 bands, cfg.max_bucket_size, neighbor_window=cfg.neighbor_window,
                 salt_oversized=cfg.salt_oversized,
@@ -354,17 +355,32 @@ def near_dup_pipeline(
 
     pairs = runner.run("pairs", _all_pairs)
 
-    clusters = runner.run(
-        "clusters",
-        lambda: src.select("orig_id", F.xxhash64("orig_id").alias("id"))
-        .join(
-            assign_clusters(
-                base.select("id"), pairs.dropDuplicates(["id_l", "id_r"]), "id"
-            ),
-            "id",
+    def _clusters():
+        # CC runs over the REP-LEVEL near-dup graph only; exact-dup members
+        # attach to their canonical rep's component through one join
+        # afterwards. Identical final partitions (near-dup edges exist only
+        # between reps, and each exact group is a star around its rep), but
+        # the iterative rounds never shuffle the exact stars — at scale the
+        # largest edge class and the skewed one (hot boilerplate groups put
+        # 10⁴+ member edges on one key; rep-graph nodes are distinct
+        # content, so hot keys collapse to single nodes).
+        near = pairs.filter(F.col("path") != "exact").dropDuplicates(
+            ["id_l", "id_r"]
         )
-        .select(F.col("orig_id").alias("id"), "cluster_id"),
-    )
+        rep_clusters = assign_clusters(reps.select("id"), near, "id")
+        expanded = exact_groups.select("id", "canonical_id").join(
+            rep_clusters.select(
+                F.col("id").alias("canonical_id"), "cluster_id"
+            ),
+            "canonical_id",
+        )
+        return (
+            src.select("orig_id", F.xxhash64("orig_id").alias("id"))
+            .join(expanded.select("id", "cluster_id"), "id")
+            .select(F.col("orig_id").alias("id"), "cluster_id")
+        )
+
+    clusters = runner.run("clusters", _clusters)
 
     return PipelineResult(
         clusters=clusters,

@@ -26,6 +26,13 @@ def get_spark(
     overhead locally, and AQE coalesces further at runtime; on a real cluster
     this would be ~2-3x total executor cores.
     """
+    # Large numpy temporaries otherwise mmap/munmap per kernel invocation;
+    # sandboxed VMs (Firecracker on-demand paging) first-touch fresh mmaps
+    # ~50x slower than steady-state writes. Keeping big allocations on the
+    # reused heap makes the Arrow-UDF kernels run warm. Must be in the env
+    # BEFORE the JVM launches (python workers inherit it through the JVM).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

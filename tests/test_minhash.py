@@ -121,3 +121,38 @@ def test_skew_bucket_capping(spark):
     pairs2, audit2 = mh.lsh_candidate_pairs(bands, max_bucket_size=100)
     assert pairs2.count() == 50 * 49 // 2
     assert audit2.count() == 0
+
+
+def test_fused_band_hashes_bucket_like_two_step(spark, turns_df):
+    """The fused signature+band kernel must produce the same BUCKETING as
+    the two-step signatures→lsh_bands path: identical per-band partitions
+    of ids (band hash values differ — xxhash64 vs polynomial digest — but
+    two ids share a fused band hash iff they share the signature slice,
+    i.e. iff they share the two-step band hash, modulo 64-bit collisions)."""
+    sh = mh.shingle_df(turns_df, "uid", "text", w=5)
+    sig = mh.minhash_signatures(sh, num_perm=32, seed=1)
+    two_step = mh.lsh_bands(sig, bands=8, rows=4)
+    fused = mh.explode_band_hashes(
+        mh.minhash_band_hashes(sh, num_perm=32, bands=8, rows=4, seed=1)
+    )
+
+    def partitions(df):
+        rows = df.groupBy("band_idx", "band_hash").agg(
+            F.sort_array(F.collect_list("id")).alias("members")
+        ).collect()
+        return sorted((r.band_idx, tuple(r.members)) for r in rows)
+
+    assert partitions(two_step) == partitions(fused)
+
+
+def test_shingle_hash_batch_segments():
+    """Kernel unit test: w-gram spans, short rows, empties, cross-row
+    boundaries without separators."""
+    out = mh._shingle_hash_batch(["a b c d", "a b c d", "x", "", "c d a b"], w=2)
+    # identical texts -> identical shingle sets
+    assert out[0].tolist() == out[1].tolist()
+    assert len(out[0]) == 3  # "a b","b c","c d"
+    assert len(out[2]) == 1 and len(out[3]) == 1
+    assert out[3].tolist() == [0]  # empty text -> constant 0
+    # "c d a b" shares exactly the shingle "c d" and "a b" with "a b c d"
+    assert len(set(out[0]) & set(out[4])) == 2
