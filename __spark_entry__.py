@@ -96,6 +96,13 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    """LSH-generated candidates, exact-Jaccard verified, hash-compared
+    against the exact all-pairs SQL. LSH recall is probabilistic, so this
+    equality is only a sound oracle because the fixture's margins make a
+    miss astronomically unlikely: every qualifying pair at sf0.01 has
+    J ≥ 0.875 (measured; threshold 0.5), so per-pair miss probability with
+    (32 bands × 4 rows) is (1 − 0.875⁴)³² ≈ 6e-13. NULL text coalesces to
+    '' on both sides (normalize_text ↔ the oracle's coalesce)."""
     from rust_gd_spark.operators.minhash import minhash_near_dup_pairs
 
     p = minhash_near_dup_pairs(

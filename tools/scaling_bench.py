@@ -87,6 +87,22 @@ def main() -> None:
     else:
         base = reassemble_conversations(transcripts)
 
+    def _cpu_times(n_cpus: int) -> tuple[float, float]:
+        """(busy+idle total, steal) seconds summed over the pinned cpus —
+        co-tenant steal on this shared VM is bursty and hits wide legs
+        hardest; recording it per leg makes quiet vs contended runs
+        distinguishable in the results file."""
+        tot = st = 0.0
+        with open("/proc/stat") as fh:
+            for line in fh:
+                p = line.split()
+                if p[0].startswith("cpu") and p[0] != "cpu":
+                    if int(p[0][3:]) < n_cpus:
+                        vals = [float(x) for x in p[1:9]]
+                        tot += sum(vals)
+                        st += vals[7]
+        return tot / 100.0, st / 100.0
+
     if args.warmup_frac > 0:
         warm = near_dup_pipeline(
             base.sample(args.warmup_frac, seed=7), "uid", "text",
@@ -94,12 +110,15 @@ def main() -> None:
         )
         warm.clusters.select("cluster_id").distinct().count()
 
+    tot0, st0 = _cpu_times(args.cores)
     t0 = time.monotonic()
     result = near_dup_pipeline(
         base, "uid", "text", collect_stats=args.collect_stats
     )
     n_clusters = result.clusters.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
+    tot1, st1 = _cpu_times(args.cores)
+    steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1e-9), 2)
 
     if args.profile:
         lin = {}
@@ -125,6 +144,7 @@ def main() -> None:
         "wall_sec": round(wall, 2),
         "n_clusters": n_clusters,
         "granularity": args.granularity,
+        "steal_pct": steal_pct,
     }
     line = json.dumps(rec)
     print(line)
