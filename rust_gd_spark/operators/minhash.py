@@ -162,6 +162,7 @@ def shingle_df(
     text_col: str = "text",
     w: int = 5,
     hashed: bool = True,
+    chunk_bytes: int = 1 << 20,
 ) -> DataFrame:
     """Per-row distinct w-shingles: ``(id, shingles array<long|string>)``.
 
@@ -180,7 +181,7 @@ def shingle_df(
     as a single shingle (so short rows still participate).
     """
     if hashed:
-        _CHUNK_BYTES = 1 << 20  # bound kernel scratch (~5 arrays × 8n bytes)
+        _CHUNK_BYTES = chunk_bytes  # bounds kernel scratch (~5 arrays × 8n)
 
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def shingle_udf(norm: pd.Series) -> pd.Series:
