@@ -74,6 +74,7 @@ def bucket_pairs(
     neighbor_window: int | None = None,
     materialize: bool = True,
     salt_oversized: bool = False,
+    order_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``(pairs, audit)`` — pairs has ``id_l, id_r`` (+ ``<payload>_l/_r``);
     audit has ``(*key_cols, bucket_size, action)`` for every bucket over
@@ -82,7 +83,12 @@ def bucket_pairs(
     Pairs are NOT globally deduplicated (the same pair may arise from
     several buckets); callers dedup after their cheap verify filter so the
     dedup shuffle sees survivors, not the raw candidate blow-up.
-    ``id_l < id_r`` is guaranteed via a sorted member array.
+    ``id_l < id_r`` is guaranteed via a sorted member array — unless
+    ``order_col`` is set, which puts that column FIRST in the member struct
+    so in-bucket ordering (and the ``neighbor_window`` band graph) follows
+    it instead of the id (Manku-style sorted-neighborhood: members near in
+    the ordered value are paired). With ``order_col`` the caller must
+    canonicalize ``id_l``/``id_r`` before any (id_l, id_r) dedup.
 
     ``neighbor_window=K`` bounds pair generation to each member's next K
     neighbors in the sorted bucket (a K-wide band graph) instead of all
@@ -106,8 +112,11 @@ def bucket_pairs(
     # bands×-exploded table measured slower than recomputing it).
     if materialize:
         df = df.localCheckpoint(eager=True)
+    lead = [F.col(order_col).alias(order_col)] if order_col else []
     member = F.struct(
-        F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols]
+        *lead,
+        F.col(id_col).alias("id"),
+        *[F.col(c).alias(c) for c in payload_cols],
     )
     # Prune singleton buckets BEFORE collecting member arrays. With
     # high-entropy keys (64-bit LSH band hashes) almost every bucket has one
@@ -139,7 +148,9 @@ def bucket_pairs(
         df.join(multi, key_cols)
         .groupBy(*key_cols)
         .agg(F.collect_list(member).alias("ms"))
-        .select(F.array_sort("ms").alias("ms"))  # by id ⇒ i<j → id_i < id_j
+        # sorted by the struct's first field: id (⇒ id_l < id_r), or
+        # order_col when set (⇒ sorted-neighborhood pairing)
+        .select(F.array_sort("ms").alias("ms"))
     )
     pairs = _explode_pairs(ok, payload_cols, neighbor_window)
 

@@ -198,6 +198,99 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_rotation_candidate_pairs(
+    fp_df: DataFrame,
+    tables: int = 8,
+    prefix_bits: int = 8,
+    window: int = 8,
+    max_bucket_size: int = 200_000,
+    salt_oversized: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Manku-style sorted-rotation candidates (Manku, Jain, Sarma —
+    "Detecting Near-Duplicates for Web Crawling", WWW'07) — the documented
+    extreme-scale alternative to fixed banding, now implemented.
+
+    ``tables`` evenly-spaced bit-rotations of the fingerprint; table t
+    buckets on the top ``prefix_bits`` of ``rotl(fp, t·64/tables)`` and
+    pairs each member with its next ``window`` neighbors in rotated-value
+    order (``bucket_pairs`` with ``order_col`` — ONE shuffle, capped,
+    audited, salt-and-keep on oversized buckets).
+
+    Bucket-containment guarantee: a bit position lands inside the prefix
+    for exactly ``tables·prefix_bits/64`` of the rotations, so two
+    fingerprints at Hamming distance d share the FULL prefix in at least
+    ``tables − d·tables·prefix_bits/64`` tables — positive for every
+    ``d < 64/prefix_bits`` (defaults: every pair with d ≤ 7 co-buckets in
+    ≥ 1 table; fixed 4×16 banding only guarantees d ≤ 3). Adjacency within
+    ``window`` of the rotated-sort is the heuristic half of the scheme —
+    close fingerprints sort together — redundant across tables and checked
+    by the planted-pair recall test. Within a bucket all members share the
+    top bits, so the signed struct sort equals the unsigned rotated order.
+
+    Returns ``(pairs(id_l, id_r, fp_l, fp_r), audit)`` with ids
+    canonicalized (id_l < id_r); verify with ``verify_hamming``.
+    """
+    from ._buckets import bucket_pairs
+
+    step = 64 // tables
+    rot = F.array(
+        *[
+            F.col("fp")
+            if t == 0
+            else F.shiftleft("fp", t * step).bitwiseOR(
+                F.shiftrightunsigned("fp", 64 - t * step)
+            )
+            for t in range(tables)
+        ]
+    )
+    posting = fp_df.select(
+        "id", "fp", F.posexplode(rot).alias("tbl", "rk")
+    ).withColumn("bucket", F.shiftrightunsigned("rk", 64 - prefix_bits))
+    raw, audit = bucket_pairs(
+        posting,
+        ["tbl", "bucket"],
+        payload_cols=["fp"],
+        max_bucket_size=max_bucket_size,
+        neighbor_window=window,
+        order_col="rk",
+        salt_oversized=salt_oversized,
+    )
+    # rotated-order pairing does not order ids; canonicalize (fp follows
+    # its id, but every consumer is symmetric in l/r)
+    canon = raw.select(
+        F.least("id_l", "id_r").alias("id_l"),
+        F.greatest("id_l", "id_r").alias("id_r"),
+        F.when(F.col("id_l") < F.col("id_r"), F.col("fp_l"))
+        .otherwise(F.col("fp_r"))
+        .alias("fp_l"),
+        F.when(F.col("id_l") < F.col("id_r"), F.col("fp_r"))
+        .otherwise(F.col("fp_l"))
+        .alias("fp_r"),
+    )
+    return canon, audit
+
+
+def simhash_rotation_pairs(
+    df: DataFrame,
+    id_col: str = "uid",
+    text_col: str = "text",
+    k: int = 8,
+    max_dist: int = 6,
+    tables: int = 8,
+    prefix_bits: int = 8,
+    window: int = 8,
+) -> DataFrame:
+    """End-to-end near-exact pairs via sorted rotations — reaches
+    ``max_dist`` up to ``64/prefix_bits − 1`` (default 7), beyond the
+    fixed-banding guarantee of 3, with linear-in-corpus candidate volume
+    (``tables·window`` pairs per row max)."""
+    fps = simhash_fingerprints_from_text(df, id_col, text_col, k=k)
+    pairs, _ = simhash_rotation_candidate_pairs(
+        fps, tables=tables, prefix_bits=prefix_bits, window=window
+    )
+    return verify_hamming(pairs, max_dist=max_dist)
+
+
 def verify_hamming(pairs: DataFrame, max_dist: int = 3) -> DataFrame:
     """``(id_l, id_r, hamming_dist)`` with distance ≤ max_dist — JVM-side
     popcount over XOR (the reference's syndrome-weight check, generalized:
