@@ -340,6 +340,32 @@ def _q_gd_chunk_stats(spark, sf_dir):
     )
 
 
+def _q_incremental_clusters(spark, sf_dir):
+    """STREAMING path, oracle-checked: the transcripts feed through
+    `streaming.process_batch` in two micro-batches (split by doc parity —
+    exact/near dups deliberately straddle the batch boundary), then
+    `compact_clusters` recovers full clusters from the persisted state.
+    The result must equal the batch pipeline's exact+minhash clusters —
+    and the DuckDB oracle is the same recursive-CTE transitive closure
+    over exact + Jaccard≥0.5 edges used for `transcript_clusters`."""
+    import tempfile
+
+    from rust_gd_spark.pipeline import canonical_clusters, with_turn_uid
+    from rust_gd_spark.streaming import compact_clusters, process_batch
+
+    tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir)).select(
+        "uid", "text", (F.xxhash64("uid") % 2 == 0).alias("even")
+    )
+    state = tempfile.mkdtemp(prefix="incdedup_")
+    for flag in (True, False):
+        process_batch(
+            tr.filter(F.col("even") == flag).select("uid", "text"),
+            state,
+            threshold=JACCARD_T,
+        )
+    return canonical_clusters(compact_clusters(spark, state))
+
+
 def _q_conv_repetition(spark, sf_dir):
     """Per-conversation suffix-array repetition profile (SURVEY.md §7 S3).
     ``n_rep_grams`` (distinct repeated 64-byte windows of the turn-ordered
@@ -384,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
         "gd_chunk_stats": _q_gd_chunk_stats,
         "transcript_clusters": _q_transcript_clusters,
+        "incremental_clusters": _q_incremental_clusters,
         "conv_repetition": _q_conv_repetition,
         "multimodal_features": _q_multimodal_features,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
@@ -441,6 +468,44 @@ with wins as ({_SUBSTRING_WINS})
 select l.doc_id as id_l, r.doc_id as id_r, 120 as common_len
 from wins l join wins r on l.h = r.h and l.doc_id < r.doc_id
 group by 1, 2
+"""
+
+# Connected components over exact + jaccard edges only (the streaming
+# path's scope); cluster_id = min member uid.
+_INC_CLUSTERS_SQL = f"""
+with recursive
+sh as (select doc_id, unnest({_SHINGLES}) as s from documents),
+dsh as (select distinct doc_id, s from sh),
+sizes as (select doc_id, count(*) as n from dsh group by doc_id),
+common as (
+  select l.doc_id as a, r.doc_id as b, count(*) as c
+  from dsh l join dsh r on l.s = r.s and l.doc_id < r.doc_id
+  group by 1, 2
+),
+jac as (
+  select c.a, c.b from common c
+  join sizes sl on sl.doc_id = c.a join sizes sr on sr.doc_id = c.b
+  where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
+),
+ex as (
+  select min(doc_id) over (partition by md5(text)) as a, doc_id as b
+  from documents
+),
+edges as (
+  select a, b from ex where a <> b
+  union select a, b from jac
+),
+sym as (select a, b from edges union select b as a, a as b from edges),
+reach(src, dst) as (
+  select doc_id, doc_id from documents
+  union
+  select r.src, s.b from reach r join sym s on r.dst = s.a
+),
+comp as (select src as doc_id, min(dst) as root from reach group by src),
+uids as (select {_UID_SQL} as uid, root from comp)
+select u.uid as id, m.cid as cluster_id
+from uids u join (select root, min(uid) as cid from uids group by root) m
+  using (root)
 """
 
 # Connected components over the SQL-expressible edge set (exact + jaccard
@@ -586,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
             from conv
         """,
         "transcript_clusters": _CLUSTERS_SQL,
+        "incremental_clusters": _INC_CLUSTERS_SQL,
         "conv_repetition": """
             with conv as (
               select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
