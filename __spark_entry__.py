@@ -488,7 +488,8 @@ jac as (
   where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
 ),
 ex as (
-  select min(doc_id) over (partition by md5(text)) as a, doc_id as b
+  select min(doc_id) over (partition by md5(coalesce(text, ''))) as a,
+         doc_id as b
   from documents
 ),
 edges as (
@@ -532,7 +533,8 @@ sub as (
   group by 1, 2
 ),
 ex as (
-  select min(doc_id) over (partition by md5(text)) as a, doc_id as b
+  select min(doc_id) over (partition by md5(coalesce(text, ''))) as a,
+         doc_id as b
   from documents
 ),
 edges as (
@@ -577,9 +579,11 @@ qualify rank <= {TOPK}
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup": """
-            select doc_id, md5(text) as content_key,
-                   min(doc_id) over (partition by md5(text)) as canonical_id,
-                   count(*) over (partition by md5(text)) as group_size
+            select doc_id, md5(coalesce(text, '')) as content_key,
+                   min(doc_id) over (partition by md5(coalesce(text, '')))
+                     as canonical_id,
+                   count(*) over (partition by md5(coalesce(text, '')))
+                     as group_size
             from documents
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,

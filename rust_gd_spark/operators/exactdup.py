@@ -28,8 +28,17 @@ def exact_dup_groups(
     content_key = md5 of (optionally normalized) text — md5 so the DuckDB
     oracle computes the identical key. canonical_id = min(id) in the group.
     Plan: HashAggregate (partial+final) + one join — no Window operator.
+
+    NULL doctrine: NULL text hashes as '' (consistent with
+    ``normalize_text``'s coalesce). md5(NULL) is NULL, and a NULL content
+    key silently falls out of the null-unsafe equi-join back — rows with
+    NULL text would vanish from the output instead of grouping together.
     """
-    key_src = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    key_src = (
+        normalize_text(F.col(text_col))
+        if normalized
+        else F.coalesce(F.col(text_col), F.lit(""))
+    )
     keyed = df.select(F.col(id_col).alias("id"), F.md5(key_src).alias("content_key"))
     groups = keyed.groupBy("content_key").agg(
         F.min("id").alias("canonical_id"), F.count("*").alias("group_size")

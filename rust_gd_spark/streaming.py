@@ -10,12 +10,15 @@ dictionary state is a set of persisted parquet stores.
 
 Design (scale-first):
 
-* **State = three append-only parquet stores** under ``state_dir``:
-  ``content_keys(content_key, canonical_id)`` — the exact-dup dictionary;
-  ``bands(band_idx, band_hash, id)`` — the LSH postings of every rep seen;
-  ``shingles(id, shingles)`` — verify-side shingle sets of every rep.
-  Appending parquet per micro-batch is the sandbox stand-in for Iceberg
-  appends (same layout the batch pipeline uses for checkpoints).
+* **State = three epoch-stamped parquet stores** under ``state_dir``:
+  ``content_keys(content_key, canonical_id, epoch)`` — the exact-dup
+  dictionary; ``bands(band_idx, band_hash, id, epoch)`` — the LSH postings
+  of every rep seen; ``shingles(id, shingles, epoch)`` — verify-side
+  shingle sets of every rep. Appending parquet per micro-batch is the
+  sandbox stand-in for Iceberg appends (same layout the batch pipeline
+  uses for checkpoints). ``epoch`` is the micro-batch counter — the
+  insertion-order clock that makes an age/LRU bound possible, mirroring
+  the reference's bounded LRU dictionary (`src/dict.rs:50-63`).
 * **Per micro-batch**: exact-dedup the batch against the content-key store
   (new key → the batch's min uid becomes canonical); for new reps, compute
   shingles + fused band hashes with the SAME kernels as the batch pipeline
@@ -23,6 +26,15 @@ Design (scale-first):
   in-batch bucket pairs ∪ batch-vs-history band joins; exact-Jaccard
   verify against the shingle store; emit ``(id_l, id_r, path, score)``
   edges to ``edges/``.
+* **Skew guard on the history join**: the batch-vs-history candidate join
+  emits |new postings| × |history postings| rows per band key, and the
+  history side grows every batch — the exact mega-bucket blow-up
+  ``_buckets.bucket_pairs`` caps in the batch paths. Band keys whose
+  TOTAL posting count (history + batch) exceeds ``max_bucket_size`` are
+  excluded from the join and audited to the ``band_audits`` store
+  (``action='dropped'``) — same exclude-and-audit contract; pairs inside
+  a hot band are still reachable through the other ``bands − 1`` keys of
+  each signature and the exact path.
 * **Assignments are eventually-exact**: per-batch output assigns each row
   its exact-dup canonical; cluster structure over near-dup edges is
   recovered by ``compact_clusters`` — a batch connected-components job
@@ -32,6 +44,19 @@ Design (scale-first):
   scale); an append-only edge log + periodic compaction keeps every
   micro-batch embarrassingly parallel and gives bit-identical clusters to
   the batch pipeline on the same input (pinned by test).
+* **State maintenance**: ``compact_state`` rewrites the stores deduped,
+  coalesced, and partitioned (bands by ``band_idx``) — run it periodically
+  so a year of micro-batch appends doesn't degrade every history join
+  into a million-small-file scan. Its optional ``max_epoch_age`` drops
+  state older than the bound — the streaming analogue of the reference
+  dict's LRU eviction (an evicted text that reappears becomes a new
+  canonical, exactly as a re-inserted LRU entry gets a fresh id).
+
+NULL doctrine: NULL text keys as '' (``md5(coalesce(text, ''))``) —
+consistent with the batch pipeline's ``exact_dup_groups`` /
+``normalize_text``. A raw ``md5(text)`` would produce a NULL content key,
+silently fall out of every null-unsafe equi-join, and append one duplicate
+store row per batch.
 
 Restart/resume: all state is on disk; the streaming checkpoint dir
 (Spark's own) plus these stores make the job resumable after loss — the
@@ -40,12 +65,21 @@ same contract as the batch pipeline's stage checkpoints (§4.3).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators import exactdup, minhash
+from pyspark.errors import AnalysisException
+
+from .operators import minhash
 from .operators.components import assign_clusters
+
+_STORE_SCHEMAS = {
+    "content_keys": "content_key string, canonical_id string, epoch long",
+    "bands": "band_idx int, band_hash long, id string, epoch long",
+    "shingles": "id string, shingles array<long>, epoch long",
+}
 
 
 def _store_path(state_dir: str, name: str) -> str:
@@ -53,11 +87,37 @@ def _store_path(state_dir: str, name: str) -> str:
 
 
 def _read_store(spark, state_dir: str, name: str, schema: str) -> DataFrame:
+    """Read a state store; an ABSENT store is empty, a BROKEN store raises.
+
+    A bare ``except Exception`` here would silently treat a
+    mis-permissioned or corrupt store as empty history and produce wrong
+    (missed-duplicate) output; only the path-not-found case may mean
+    "no state yet".
+    """
     path = _store_path(state_dir, name)
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        # partitionBy-rewritten stores read fine; an empty dir left by a
+        # crashed first write is the one benign AnalysisException
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def _next_epoch(state_dir: str) -> int:
+    """Micro-batch counter, persisted as a tiny json file. foreachBatch
+    invocations are driver-serialized, so a plain file is race-free."""
+    path = os.path.join(state_dir, "_epoch.json")
+    epoch = 0
+    if os.path.exists(path):
+        with open(path) as fh:
+            epoch = json.load(fh)["epoch"] + 1
+    with open(path, "w") as fh:
+        json.dump({"epoch": epoch}, fh)
+    return epoch
 
 
 def process_batch(
@@ -70,21 +130,32 @@ def process_batch(
     threshold: float = 0.7,
     max_bucket_size: int = 2000,
     seed: int = 1,
+    collect_stats: bool = True,
 ) -> dict:
     """One micro-batch of incremental dedup. ``batch_df`` must carry
     ``(uid, text)``. Returns counters (for tests/monitoring); appends to
     the state stores and the ``edges``/``assignments`` logs.
+
+    ``collect_stats=False`` skips the three driver count() jobs that feed
+    the counters (they return -1) — bench/production mode, mirroring the
+    batch pipeline's ``collect_stats``.
     """
     spark = batch_df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+    epoch = _next_epoch(state_dir)
     batch = batch_df.select("uid", "text").localCheckpoint(eager=True)
 
     # --- exact path vs history ------------------------------------------
-    keyed = batch.select("uid", F.md5("text").alias("content_key"))
+    keyed = batch.select(
+        "uid", F.md5(F.coalesce("text", F.lit(""))).alias("content_key")
+    )
     store_keys = _read_store(
-        spark, state_dir, "content_keys", "content_key string, canonical_id string"
+        spark, state_dir, "content_keys", _STORE_SCHEMAS["content_keys"]
     )
     batch_min = keyed.groupBy("content_key").agg(F.min("uid").alias("batch_min"))
-    merged = batch_min.join(store_keys, "content_key", "left")
+    merged = batch_min.join(
+        store_keys.select("content_key", "canonical_id"), "content_key", "left"
+    )
     new_keys = merged.filter(F.col("canonical_id").isNull()).select(
         "content_key", F.col("batch_min").alias("canonical_id")
     ).localCheckpoint(eager=True)
@@ -108,17 +179,34 @@ def process_batch(
     bh = minhash.minhash_band_hashes(sh, num_perm, bands, rows, seed)
     banded = minhash.explode_band_hashes(bh).localCheckpoint(eager=True)
 
-    # in-batch candidates: one-shuffle bucket pairs
-    new_pairs, _ = minhash.lsh_candidate_pairs(
+    # in-batch candidates: one-shuffle bucket pairs (capped + audited)
+    new_pairs, batch_audit = minhash.lsh_candidate_pairs(
         banded, max_bucket_size=max_bucket_size
     )
-    # batch-vs-history candidates: equi-join new postings against the store
-    band_store = _read_store(
-        spark, state_dir, "bands", "band_idx int, band_hash long, id string"
+
+    # batch-vs-history candidates: equi-join new postings against the store,
+    # EXCLUDING band keys whose total posting count (history + batch)
+    # exceeds the cap — the join would otherwise emit |new|x|hist| rows per
+    # hot key, growing with every micro-batch. Excluded keys are audited.
+    band_store = _read_store(spark, state_dir, "bands", _STORE_SCHEMAS["bands"])
+    key_counts = (
+        band_store.select("band_idx", "band_hash")
+        .unionByName(banded.select("band_idx", "band_hash"))
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+    hot_keys = key_counts.filter(
+        F.col("bucket_size") > max_bucket_size
+    ).localCheckpoint(eager=True)
+    hist_audit = hot_keys.select(
+        "band_idx", "band_hash", "bucket_size",
+        F.lit("dropped").alias("action"), F.lit(epoch).alias("epoch"),
     )
     hist_pairs = (
-        banded.join(
-            band_store.withColumnRenamed("id", "hist_id"),
+        banded.join(hot_keys.select("band_idx", "band_hash"),
+                    ["band_idx", "band_hash"], "left_anti")
+        .join(
+            band_store.select("band_idx", "band_hash", F.col("id").alias("hist_id")),
             ["band_idx", "band_hash"],
         )
         .select(
@@ -132,9 +220,11 @@ def process_batch(
 
     # verify against batch + historical shingles
     shingle_store = _read_store(
-        spark, state_dir, "shingles", "id string, shingles array<long>"
+        spark, state_dir, "shingles", _STORE_SCHEMAS["shingles"]
     )
-    all_sh = sh.select(F.col("id"), "shingles").unionByName(shingle_store)
+    all_sh = sh.select(F.col("id"), "shingles").unionByName(
+        shingle_store.select("id", "shingles")
+    )
     verified = minhash.verify_jaccard(cand, all_sh, threshold=threshold)
     edges = verified.select(
         "id_l", "id_r", F.lit("minhash").alias("path"),
@@ -142,19 +232,102 @@ def process_batch(
     ).localCheckpoint(eager=True)
 
     # --- persist ---------------------------------------------------------
-    counters = {
-        "rows": batch.count(),
-        "new_keys": new_keys.count(),
-        "edges": edges.count(),
-    }
-    new_keys.write.mode("append").parquet(_store_path(state_dir, "content_keys"))
-    banded.select("band_idx", "band_hash", F.col("id")).write.mode("append").parquet(
-        _store_path(state_dir, "bands")
+    if collect_stats:
+        counters = {
+            "epoch": epoch,
+            "rows": batch.count(),
+            "new_keys": new_keys.count(),
+            "edges": edges.count(),
+        }
+    else:
+        counters = {"epoch": epoch, "rows": -1, "new_keys": -1, "edges": -1}
+    ep = F.lit(epoch).cast("long")
+    new_keys.withColumn("epoch", ep).write.mode("append").parquet(
+        _store_path(state_dir, "content_keys")
     )
-    sh.write.mode("append").parquet(_store_path(state_dir, "shingles"))
+    banded.select("band_idx", "band_hash", "id").withColumn("epoch", ep).write.mode(
+        "append"
+    ).parquet(_store_path(state_dir, "bands"))
+    sh.withColumn("epoch", ep).write.mode("append").parquet(
+        _store_path(state_dir, "shingles")
+    )
     edges.write.mode("append").parquet(_store_path(state_dir, "edges"))
     assignments.write.mode("append").parquet(_store_path(state_dir, "assignments"))
+    audits = batch_audit.select(
+        "band_idx",
+        "band_hash",
+        "bucket_size",
+        F.concat(F.lit("in_batch_"), "action").alias("action"),
+        F.lit(epoch).alias("epoch"),
+    ).unionByName(hist_audit)
+    if not audits.isEmpty():
+        audits.write.mode("append").parquet(_store_path(state_dir, "band_audits"))
     return counters
+
+
+def compact_state(
+    spark,
+    state_dir: str,
+    max_epoch_age: int | None = None,
+    partitions: int | None = None,
+) -> dict:
+    """Rewrite the state stores deduped, coalesced, and partitioned.
+
+    * ``content_keys``/``shingles``: dropDuplicates on the logical key
+      (first-write wins is moot — a key/id is only ever appended once by
+      construction, so dedup guards against replayed micro-batches after a
+      crash-restart) and coalesce the per-batch small files.
+    * ``bands``: same, rewritten ``partitionBy('band_idx')`` so history
+      joins scan band-local files (the Iceberg-table partition spec the
+      real deployment would declare).
+    * ``max_epoch_age=k`` additionally DROPS rows older than
+      ``current_epoch − k`` from all three stores — the reference dict's
+      LRU eviction (`src/dict.rs:50-63`) in stream form: bounded state, at
+      the documented cost that a text last seen before the horizon
+      re-enters as a new canonical. The ``edges``/``assignments`` output
+      logs are never aged (they are results, not state).
+
+    The rewrite is atomic per store (write to ``<name>.compact``, then
+    rename); a crash mid-compaction leaves the original store intact.
+    Returns per-store row counts after compaction.
+    """
+    import shutil
+
+    epoch_path = os.path.join(state_dir, "_epoch.json")
+    current = 0
+    if os.path.exists(epoch_path):
+        with open(epoch_path) as fh:
+            current = json.load(fh)["epoch"]
+    horizon = None if max_epoch_age is None else current - max_epoch_age
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    dedup_keys = {
+        "content_keys": ["content_key"],
+        "bands": ["band_idx", "band_hash", "id"],
+        "shingles": ["id"],
+    }
+    out: dict = {"epoch": current}
+    for name, keys in dedup_keys.items():
+        path = _store_path(state_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = _read_store(spark, state_dir, name, _STORE_SCHEMAS[name])
+        if horizon is not None:
+            df = df.filter(F.col("epoch") >= horizon)
+        df = df.dropDuplicates(keys)
+        tmp = path + ".compact"
+        writer = df.repartition(partitions).write.mode("overwrite")
+        if name == "bands":
+            writer = df.repartition(partitions, "band_idx").write.mode(
+                "overwrite"
+            ).partitionBy("band_idx")
+        writer.parquet(tmp)
+        # count AFTER the write (from the written files — no recompute)
+        out[name] = spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    return out
 
 
 def incremental_dedup_stream(

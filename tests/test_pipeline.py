@@ -243,6 +243,27 @@ def test_path_toggles_disable_stages(spark, turns_df):
     assert paths <= {"exact", "minhash"}
 
 
+def test_null_text_rows_survive(spark):
+    """NULL text is in-contract (normalize_text coalesces NULL to '').
+    md5(NULL) is NULL, and a null-unsafe equi-join on the content key
+    silently dropped those rows from the clusters output — every input
+    row must come back, NULL texts grouped with '' (one exact group)."""
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", None),
+        ("c", "the quick brown fox jumps over the lazy dog"),
+        ("d", None),
+        ("e", ""),
+    ]
+    df = spark.createDataFrame(rows, "uid string, text string")
+    res = near_dup_pipeline(df, "uid", "text", DedupConfig())
+    got = {r.id: r.cluster_id for r in res.clusters.collect()}
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    # NULL and '' share one content key (the NULL doctrine) → one cluster
+    assert got["b"] == got["d"] == got["e"]
+    assert got["a"] == got["c"]
+
+
 def test_canonical_clusters_relabel(spark, turns_df):
     from rust_gd_spark.pipeline import canonical_clusters
 

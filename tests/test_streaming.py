@@ -72,6 +72,98 @@ def test_incremental_state_counters(spark, turn_batches, tmp_path):
     assert assigns.filter(F.col("canonical_id").isNull()).count() == 0
 
 
+def test_streaming_null_text(spark, tmp_path):
+    """NULL text keys as '' (the batch NULL doctrine): rows are never
+    dropped from assignments, and repeated batches must not accumulate
+    duplicate content-key rows for the NULL/'' key."""
+    state = str(tmp_path / "state")
+    rows = [("a", None), ("b", "some genuinely unique text here"), ("c", "")]
+    df = spark.createDataFrame(rows, "uid string, text string")
+    st.process_batch(df, state)
+    st.process_batch(
+        spark.createDataFrame([("d", None)], "uid string, text string"), state
+    )
+    assigns = spark.read.parquet(f"{state}/assignments")
+    assert assigns.count() == 4  # nothing dropped
+    got = {r.uid: r.canonical_id for r in assigns.collect()}
+    assert got["a"] == got["c"] == got["d"] == "a"  # NULL ≡ '' shares a key
+    keys = spark.read.parquet(f"{state}/content_keys")
+    assert keys.filter(F.col("content_key").isNull()).count() == 0
+    assert keys.groupBy("content_key").count().filter("count > 1").count() == 0
+
+
+def test_streaming_history_join_cap_and_audit(spark, tmp_path):
+    """A band key whose total posting count exceeds max_bucket_size is
+    excluded from the batch-vs-history join (no |new|x|hist| blow-up) and
+    audited to the band_audits store — mirroring bucket_pairs."""
+    # 6 near-identical texts share (almost) all band hashes; cap of 4
+    # makes their shared keys hot once history holds 3+ postings.
+    texts = [
+        (f"u{i}", "alpha beta gamma delta epsilon zeta eta theta iota "
+                  f"kappa lambda mu nu xi omicron pi rho variant{i}")
+        for i in range(6)
+    ]
+    state = str(tmp_path / "state")
+    mk = lambda rs: spark.createDataFrame(rs, "uid string, text string")
+    st.process_batch(mk(texts[:3]), state, max_bucket_size=4)
+    st.process_batch(mk(texts[3:]), state, max_bucket_size=4)
+    audits = spark.read.parquet(f"{state}/band_audits")
+    dropped = audits.filter(F.col("action") == "dropped")
+    assert dropped.count() > 0
+    assert dropped.agg(F.min("bucket_size")).collect()[0][0] > 4
+    # pairs through non-hot keys still verified (recall via band redundancy)
+    edges = spark.read.parquet(f"{state}/edges")
+    assert edges.count() > 0
+
+
+def test_compact_state_mid_stream(spark, turn_batches, tmp_path):
+    """compact_state between micro-batches must not change the final
+    clusters (dedup/partition rewrite is semantics-free), and it bounds
+    the store file count."""
+    import glob
+
+    ref_state = str(tmp_path / "ref")
+    cmp_state = str(tmp_path / "cmp")
+    dfs = [
+        with_turn_uid(
+            spark.createDataFrame(p[["conv_id", "turn_idx", "text"]])
+        ).select("uid", "text")
+        for p in turn_batches
+    ]
+    for d in dfs:
+        st.process_batch(d, ref_state, threshold=0.7)
+    st.process_batch(dfs[0], cmp_state, threshold=0.7)
+    st.process_batch(dfs[1], cmp_state, threshold=0.7)
+    stats = st.compact_state(spark, cmp_state, partitions=2)
+    assert stats["content_keys"] > 0 and stats["bands"] > 0
+    st.process_batch(dfs[2], cmp_state, threshold=0.7)
+
+    ref = _clusters_as_partition(st.compact_clusters(spark, ref_state))
+    got = _clusters_as_partition(st.compact_clusters(spark, cmp_state))
+    assert ref == got
+    # bands store is partitioned by band_idx after compaction
+    assert glob.glob(f"{cmp_state}/bands/band_idx=*"), "partitioned rewrite"
+
+
+def test_compact_state_age_bound(spark, tmp_path):
+    """max_epoch_age evicts old state (the reference dict's LRU analogue,
+    src/dict.rs:50-63): a text seen only before the horizon re-enters as
+    a NEW canonical afterwards."""
+    state = str(tmp_path / "state")
+    mk = lambda rs: spark.createDataFrame(rs, "uid string, text string")
+    st.process_batch(mk([("a", "ancient text seen once long ago")]), state)
+    st.process_batch(mk([("b", "something else entirely different")]), state)
+    st.process_batch(mk([("c", "third batch of unrelated content")]), state)
+    # keep only the last 2 epochs (1, 2) — epoch 0 ("a") is evicted
+    st.compact_state(spark, state, max_epoch_age=1, partitions=2)
+    keys = spark.read.parquet(f"{state}/content_keys")
+    assert keys.filter(F.col("canonical_id") == "a").count() == 0
+    st.process_batch(mk([("z", "ancient text seen once long ago")]), state)
+    assigns = spark.read.parquet(f"{state}/assignments")
+    got = {r.uid: r.canonical_id for r in assigns.collect()}
+    assert got["z"] == "z"  # re-entered as its own canonical
+
+
 def test_streaming_file_source_end_to_end(spark, turn_batches, tmp_path):
     """A real readStream over a file source with availableNow triggers:
     files appearing across two runs are both absorbed; state persists."""
