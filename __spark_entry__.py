@@ -79,9 +79,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_exact_dedup(spark, sf_dir):
+    """No ensure_min_partitions here: the operator is pure JVM
+    (scan → md5 → agg → join); its map parallelism IS the scan's split
+    count, so round-robin repartitioning a small single-split file only
+    adds an exchange (measured ~0.7 s of the old 3.5 s bench time). On a
+    real corpus the scan has thousands of splits."""
     from rust_gd_spark.operators.exactdup import exact_dup_groups
 
-    return exact_dup_groups(_docs(spark, sf_dir), "doc_id", "text").select(
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dup_groups(d, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "content_key", "canonical_id", "group_size"
     )
 
@@ -216,6 +222,20 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_dist=3)
 
 
+def _q_simhash_rotation_pairs(spark, sf_dir):
+    """Manku sorted-rotation candidates (WWW'07) + Hamming verify — the
+    extreme-scale SimHash mode (linear candidate volume, reaches d ≤ 7 vs
+    fixed banding's d ≤ 3). Fingerprint family is not SQL-expressible →
+    rows-only here; clustering equivalence vs the banding mode at matched
+    distance is pinned in tests/test_pipeline.py, planted-pair recall and
+    the bucket-containment math in tests/test_simhash.py."""
+    from rust_gd_spark.operators.simhash import simhash_rotation_pairs
+
+    return simhash_rotation_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_dist=3
+    )
+
+
 def _q_substring_pairs(spark, sf_dir):
     """Pairs sharing a verbatim ≥120-byte substring. Oracle-checkable:
     winnowing candidate recall is EXACT for spans ≥ k+w−1 = min_len (no
@@ -261,6 +281,45 @@ def _q_embedding_ann_lsh(spark, sf_dir):
     return embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.35, nbits=256, bands=64, seed=7,
         strategy="auto", block_rows=512,
+    ).select(F.col("id_l").alias("vec_l"), F.col("id_r").alias("vec_r"), "cosine")
+
+
+def _q_embedding_ann_highsim(spark, sf_dir):
+    """The TRUE LSH regime, oracle-checked: the fixture's max pairwise
+    cosine is ~0.6, so near-dups are PLANTED in the query itself — for
+    every vec_id % 5 == 0 a mixture 0.95·v + 0.3·w (w = the next row's
+    vector) joins the corpus under id+1,000,000; planted pairs land at
+    cosine 0.949–0.967 (measured, both SFs), everything else ≤ 0.601.
+    At τ=0.9 / nbits=256 / bands=32 the strategy rule picks the real LSH
+    path (Hamming cutoff 62 ≪ 128); a planted pair at cosine 0.9488
+    misses all 32 8-bit bands with probability (1−0.898⁸)³² ≈ 2e-8, and
+    the Hamming prefilter sits 7σ above the planted pairs' expected
+    signature distance — so bit-equality with the exact all-pairs SQL is
+    a sound oracle, and it exercises bucket-join + prefilter + verify
+    (unlike `embedding_ann_lsh`, whose τ=0.35 delegates to the blocked
+    exact scan)."""
+    from rust_gd_spark.operators.embedding import embedding_near_dup_pairs
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    a, b = e.alias("a"), e.alias("b")
+    planted = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .filter(F.col("a.vec_id") % 5 == 0)
+        .select(
+            (F.col("a.vec_id") + 1000000).alias("vec_id"),
+            F.zip_with(
+                "a.embedding", "b.embedding",
+                lambda x, y: 0.95 * x.cast("double") + 0.3 * y.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    aug = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    return embedding_near_dup_pairs(
+        aug, "vec_id", "embedding", threshold=0.9, nbits=256, bands=32, seed=7,
+        strategy="auto",
     ).select(F.col("id_l").alias("vec_l"), F.col("id_r").alias("vec_r"), "cosine")
 
 
@@ -402,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_blocked": _q_embedding_topk_blocked,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_ann_lsh": _q_embedding_ann_lsh,
+        "embedding_ann_highsim": _q_embedding_ann_highsim,
         "window_reassembly": _q_window_reassembly,
         "window_rank": _q_window_rank,
         "join_agg_segment": _q_join_agg,
@@ -417,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_rotation_pairs": _q_simhash_rotation_pairs,
         "gd_decompose_metrics": _q_gd_decompose_metrics,
     }
 
@@ -627,6 +688,31 @@ def oracle_sql() -> dict[str, str]:
             from n l join n r on l.vec_id < r.vec_id
             where round(list_sum(list_transform(range(1, len(l.v) + 1),
                         i -> l.v[i] * r.v[i])), 6) >= 0.35
+        """,
+        "embedding_ann_highsim": """
+            with aug as (
+              select vec_id, list_transform(embedding, x -> x::double) as v0
+              from embeddings
+              union all
+              select a.vec_id + 1000000,
+                     list_transform(range(1, len(a.embedding) + 1),
+                       i -> 0.95 * (a.embedding[i]::double)
+                            + 0.3 * (b.embedding[i]::double))
+              from embeddings a join embeddings b on b.vec_id = a.vec_id + 1
+              where a.vec_id % 5 = 0
+            ),
+            n as (
+              select vec_id,
+                     list_transform(v0, x -> x /
+                       sqrt(list_sum(list_transform(v0, y -> y * y)))) as v
+              from aug
+            )
+            select l.vec_id as vec_l, r.vec_id as vec_r,
+                   round(list_sum(list_transform(range(1, len(l.v) + 1),
+                         i -> l.v[i] * r.v[i])), 6) as cosine
+            from n l join n r on l.vec_id < r.vec_id
+            where round(list_sum(list_transform(range(1, len(l.v) + 1),
+                        i -> l.v[i] * r.v[i])), 6) >= 0.9
         """,
         "substring_pairs": _SUBSTRING_SQL,
         "gd_roundtrip": """

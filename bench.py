@@ -56,6 +56,8 @@ def main() -> None:
     timed("exact_dedup", lambda: _force(q["exact_dedup"](spark, sf_dir)))
     timed("minhash_lsh_pairs", lambda: _force(q["minhash_lsh_pairs"](spark, sf_dir)))
     timed("simhash_pairs", lambda: _force(q["simhash_pairs"](spark, sf_dir)))
+    timed("simhash_rotation_pairs",
+          lambda: _force(q["simhash_rotation_pairs"](spark, sf_dir)))
     timed("substring_pairs", lambda: _force(q["substring_pairs"](spark, sf_dir)))
     timed("doc_text_stats", lambda: _force(q["doc_text_stats"](spark, sf_dir)))
     timed("doc_quality_lang", lambda: _force(q["doc_quality_lang"](spark, sf_dir)))
@@ -71,17 +73,10 @@ def main() -> None:
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))
 
-    # high-similarity ANN (the selective-bucket regime LSH is built for:
-    # τ=0.9, 8-bit bands). Not a queries() entry — the fixture has no
-    # pairs ≥ 0.9, so the timing measures candidate+verify cost; recall at
-    # this regime is pinned by tests/test_embedding.py on planted dups.
-    def _ann_high():
-        from rust_gd_spark.operators.embedding import embedding_near_dup_pairs
-
-        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return _force(embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.9))
-
-    timed("embedding_ann_highsim", _ann_high)
+    # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
+    # queries() entry with planted near-dups and a DuckDB oracle.
+    timed("embedding_ann_highsim",
+          lambda: _force(q["embedding_ann_highsim"](spark, sf_dir)))
 
     # headline: FULL 4-path pipeline (incl. simhash, band-graph windows) —
     # the production config; transcript_clusters above is the

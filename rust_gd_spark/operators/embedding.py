@@ -62,14 +62,16 @@ def _dot(a, b):
 def _collect_ref(df: DataFrame, id_col: str, vec_col: str, max_ref_rows: int):
     """Driver-collect + broadcast the reference side, with a hard size guard."""
     n = l2_normalize(df, vec_col).select(F.col(id_col).alias("id"), F.col("vnorm"))
-    cnt = n.count()
-    if cnt > max_ref_rows:
+    # One collect, guarded by a LIMIT probe: pulling max_ref_rows+1 rows
+    # bounds driver memory to one-over-budget even on a corpus-scale input
+    # (a count() first would scan the reference side twice).
+    ref = n.limit(max_ref_rows + 1).toPandas()
+    if len(ref) > max_ref_rows:
         raise ValueError(
-            f"brute-force reference side has {cnt} rows > max_ref_rows="
+            f"brute-force reference side exceeds max_ref_rows="
             f"{max_ref_rows}; pass a bounded query_df or use the LSH path "
             "(embedding_near_dup_pairs / cosine_topk_lsh)"
         )
-    ref = n.toPandas()
     ref_ids = ref["id"].to_numpy()
     R = np.stack(ref["vnorm"].to_numpy()).astype(np.float64)  # (m, d)
     bc = df.sparkSession.sparkContext.broadcast((ref_ids, R))
@@ -338,7 +340,23 @@ def cosine_topk_blocked(
                 partial(ids_l, ids_r, S, out)
                 if not same:
                     partial(ids_r, ids_l, S.T, out)
-            yield _pd.DataFrame(out)
+            part = _pd.DataFrame(out)
+            if len(part):
+                # pre-merge ACROSS this task's tiles before emitting: the
+                # global top-k per probe survives any intermediate top-k
+                # under the same (-cosine, neighbor_id) order, and the
+                # merge window's input shrinks by the tiles-per-task
+                # factor — at corpus scale the partial stream is the
+                # shuffle cost (n·B·k rows without this).
+                part = (
+                    part.sort_values(
+                        ["id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("id", sort=False)
+                    .head(k)
+                )
+            yield part
 
     partials = grid.mapInPandas(run, schema=part_schema)
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -6,8 +6,10 @@ Skew note: a window over the content key would put EVERY copy of a hot
 boilerplate text into one window partition in one task — and AQE cannot
 split window skew. The groupBy formulation shuffles compact
 (content_key, min_id, count) rows with map-side partial aggregation, and
-the join back is AQE-skew-splittable; the group table is tiny (one row per
-distinct text) so it broadcasts.
+the join back is AQE-skew-splittable. At small scale AQE runtime stats
+turn the join into a BroadcastHashJoin (pinned by test); at corpus scale
+(groups ~ distinct content, too big to broadcast) it becomes a shuffle
+join co-partitioned on content_key — never a per-key single-task window.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ def exact_dup_groups(
     id_col: str = "uid",
     text_col: str = "text",
     normalized: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """``(id, content_key, canonical_id, group_size)`` for every row.
 
@@ -40,6 +43,12 @@ def exact_dup_groups(
         else F.coalesce(F.col(text_col), F.lit(""))
     )
     keyed = df.select(F.col(id_col).alias("id"), F.md5(key_src).alias("content_key"))
+    # keyed feeds BOTH the group agg and the join back; without
+    # materialization Spark scans the source (including the text column —
+    # the dominant byte volume at corpus scale) and hashes it TWICE.
+    # Materialized, the reuse reads compact ~48-byte (id, key) rows.
+    if materialize:
+        keyed = keyed.localCheckpoint(eager=True)
     groups = keyed.groupBy("content_key").agg(
         F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
     )

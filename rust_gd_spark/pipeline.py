@@ -38,7 +38,27 @@ class DedupConfig:
     rows: int = 4
     jaccard_threshold: float = 0.7
     char_k: int = 8                  # char-gram width (SimHash path)
+    # SimHash candidate generation:
+    # * "banding"  — fixed sim_bands×(64/sim_bands)-bit bands; guarantees
+    #   every pair at Hamming distance ≤ sim_bands−1 co-buckets, but a
+    #   16-bit band's chance-collision stream grows QUADRATICALLY with
+    #   corpus size (verify absorbs it here; at extreme scale it is the
+    #   dominant cost).
+    # * "rotations" — Manku sorted-rotations (WWW'07,
+    #   simhash_rotation_candidate_pairs): candidate volume is LINEAR
+    #   (≤ sim_tables·sim_window per row) and co-bucketing is guaranteed
+    #   for d < 64/sim_prefix_bits (default 7 > banding's 3) — the
+    #   extreme-scale mode.
+    simhash_mode: str = "banding"
     sim_bands: int = 4
+    sim_tables: int = 8
+    sim_prefix_bits: int = 8
+    sim_window: int = 8
+    # rotation prefix buckets hold ~n/2^prefix_bits members BY DESIGN (the
+    # sorted window bounds pair volume, not bucket size), so they get their
+    # own cap — a collect_list task over 200k (rk, id, fp) structs is
+    # ~7 MB, and salting only engages beyond that.
+    sim_rotation_max_bucket: int = 200_000
     max_hamming: int = 3
     min_substring_len: int = 200
     max_bucket_size: int = 2000
@@ -276,6 +296,17 @@ def near_dup_pipeline(
         )
 
         def _sh_cands():
+            if cfg.simhash_mode == "rotations":
+                return simhash.simhash_rotation_candidate_pairs(
+                    fps,
+                    tables=cfg.sim_tables,
+                    prefix_bits=cfg.sim_prefix_bits,
+                    window=cfg.sim_window,
+                    max_bucket_size=cfg.sim_rotation_max_bucket,
+                    salt_oversized=cfg.salt_oversized,
+                )
+            if cfg.simhash_mode != "banding":
+                raise ValueError(f"unknown simhash_mode {cfg.simhash_mode!r}")
             banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
             return simhash.simhash_candidate_pairs(
                 banded,

@@ -243,6 +243,32 @@ def test_path_toggles_disable_stages(spark, turns_df):
     assert paths <= {"exact", "minhash"}
 
 
+def test_simhash_rotation_mode_matches_banding(spark, turns_df):
+    """simhash_mode='rotations' (Manku WWW'07) through the FULL pipeline
+    must produce the same cluster partition as the banding mode at matched
+    verify distance: banding guarantees candidates at d ≤ sim_bands−1 = 3,
+    rotations co-bucket every pair at d ≤ 7 ⊇ 3, and at this corpus size
+    prefix buckets are smaller than the sorted window so adjacency is
+    exhaustive — both candidate sets then verify to the same d ≤ 3 pairs."""
+    base = DedupConfig(enable_minhash=False, enable_substring=False)
+    from dataclasses import replace
+
+    res_band = near_dup_pipeline(turns_df, "uid", "text", base)
+    res_rot = near_dup_pipeline(
+        turns_df, "uid", "text", replace(base, simhash_mode="rotations")
+    )
+
+    def partition(df):
+        by = {}
+        for r in df.collect():
+            by.setdefault(r.cluster_id, set()).add(r.id)
+        return frozenset(frozenset(v) for v in by.values())
+
+    assert partition(res_band.clusters) == partition(res_rot.clusters)
+    # the rotation path really ran (stage present, pairs labeled simhash)
+    assert "simhash_pairs" in {r.stage for r in res_rot.metrics.collect()}
+
+
 def test_null_text_rows_survive(spark):
     """NULL text is in-contract (normalize_text coalesces NULL to '').
     md5(NULL) is NULL, and a null-unsafe equi-join on the content key
