@@ -742,6 +742,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transcript_clusters": _CLUSTERS_SQL,
         "incremental_clusters": _INC_CLUSTERS_SQL,
+        # NOTE: this oracle windows over CHARACTERS (DuckDB substr/length;
+        # this build has no BLOB substring), while conversation_repetition
+        # computes UTF-8 BYTE windows. They coincide on the ASCII-only
+        # fixture corpus (verified: octet_length == length for every sf
+        # documents.parquet row); a non-ASCII fixture would need a
+        # byte-capable oracle, not an operator change.
         "conv_repetition": """
             with conv as (
               select printf('conv-%04d', (doc_id % 50)::int) as conv_id,

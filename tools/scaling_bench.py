@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--data", required=True)
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--granularity", choices=["turn", "conv"], default="turn")
+    ap.add_argument(
+        "--mode", choices=["local", "cluster"], default="local",
+        help="recorded in the result row: local[N] (one shared JVM) vs "
+        "standalone cluster (N single-core executor JVMs — "
+        "tools/run_cluster_scaling.sh)",
+    )
     ap.add_argument("--out", default=None, help="append JSON line here")
     ap.add_argument(
         "--collect-stats", action="store_true",
@@ -145,6 +151,7 @@ def main() -> None:
         "n_clusters": n_clusters,
         "granularity": args.granularity,
         "steal_pct": steal_pct,
+        "mode": args.mode,
     }
     line = json.dumps(rec)
     print(line)
