@@ -83,6 +83,14 @@ class DedupConfig:
     enable_minhash: bool = True
     enable_simhash: bool = True
     enable_substring: bool = True
+    # Submit the three candidate paths as CONCURRENT Spark jobs (driver
+    # threads; Spark schedules fairly across them). On a saturated
+    # single-JVM local[N] box this measured 35% WORSE (3× python workers +
+    # 3× concurrent shuffles fight one memory system); on a multi-executor
+    # cluster it overlaps each chain's narrow stages and per-stage driver
+    # barriers with another chain's wide stages — the regime where the
+    # barrier residue, not the memory system, bounds scaling.
+    concurrent_paths: bool = False
     seed: int = 1
 
 
@@ -349,31 +357,41 @@ def near_dup_pipeline(
             ),
         )
 
-    # The three candidate paths are independent DAGs over `reps`. They run
-    # SEQUENTIALLY on purpose: measured on a saturated 32-core box,
-    # submitting them as concurrent Spark jobs (ThreadPoolExecutor) made the
-    # wall 35% WORSE — 3x the python UDF workers and 3x the concurrent
-    # shuffles fight for the same memory bandwidth. On a multi-executor
-    # cluster with scheduler pools, concurrency here is a one-line change.
-    path_pairs: list[DataFrame] = []
+    # The three candidate paths are independent DAGs over `reps`. Default
+    # is SEQUENTIAL: measured on a saturated 32-core local[N] box,
+    # concurrent submission made the wall 35% WORSE — 3x the python UDF
+    # workers and 3x the concurrent shuffles fight for the same memory
+    # bandwidth. cfg.concurrent_paths=True submits them from driver
+    # threads instead — the multi-executor-cluster mode, where overlapping
+    # one chain's narrow/barrier stages with another's wide stages is what
+    # keeps executors busy (see DedupConfig.concurrent_paths).
+    chains = []
     if cfg.enable_minhash:
-        mh = _mh_chain()
-        path_pairs.append(
-            mh.select("id_l", "id_r", F.lit("minhash").alias("path"),
-                      F.col("jaccard").alias("score"))
-        )
+        chains.append((
+            _mh_chain,
+            lambda mh: mh.select("id_l", "id_r", F.lit("minhash").alias("path"),
+                                 F.col("jaccard").alias("score")),
+        ))
     if cfg.enable_simhash:
-        sh = _sh_chain()
-        path_pairs.append(
-            sh.select("id_l", "id_r", F.lit("simhash").alias("path"),
-                      (1.0 - F.col("hamming_dist") / 64.0).alias("score"))
-        )
+        chains.append((
+            _sh_chain,
+            lambda sh: sh.select("id_l", "id_r", F.lit("simhash").alias("path"),
+                                 (1.0 - F.col("hamming_dist") / 64.0).alias("score")),
+        ))
     if cfg.enable_substring:
-        ss = _ss_chain()
-        path_pairs.append(
-            ss.select("id_l", "id_r", F.lit("substring").alias("path"),
-                      F.col("common_len").cast("double").alias("score"))
-        )
+        chains.append((
+            _ss_chain,
+            lambda ss: ss.select("id_l", "id_r", F.lit("substring").alias("path"),
+                                 F.col("common_len").cast("double").alias("score")),
+        ))
+    if cfg.concurrent_paths and len(chains) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+            futs = [pool.submit(build) for build, _ in chains]
+            path_pairs = [sel(f.result()) for f, (_, sel) in zip(futs, chains)]
+    else:
+        path_pairs = [sel(build()) for build, sel in chains]
 
     # --- union + clustering ---------------------------------------------------
     def _all_pairs():

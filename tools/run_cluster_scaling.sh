@@ -115,6 +115,7 @@ run_leg() {
     --conf spark.ui.enabled=false \
     --conf spark.executorEnv.MALLOC_MMAP_THRESHOLD_=268435456 \
     --conf spark.executorEnv.MALLOC_TRIM_THRESHOLD_=268435456 \
+    ${EXTRA_SPARK_CONF:-} \
     --py-files dist/rust_gd_spark.zip \
     tools/scaling_bench.py \
     --data "$SCRATCH" --cores "$N" --granularity "$GRAN" --out "$RESULTS" \

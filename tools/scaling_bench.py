@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--granularity", choices=["turn", "conv"], default="turn")
     ap.add_argument(
+        "--concurrent-paths", action="store_true",
+        help="submit the three candidate paths as concurrent Spark jobs "
+        "(DedupConfig.concurrent_paths) — the multi-executor-cluster mode; "
+        "measured worse on a saturated single-JVM local[N] box",
+    )
+    ap.add_argument(
         "--mode", choices=["local", "cluster"], default="local",
         help="recorded in the result row: local[N] (one shared JVM) vs "
         "standalone cluster (N single-core executor JVMs — "
@@ -109,9 +115,13 @@ def main() -> None:
                         st += vals[7]
         return tot / 100.0, st / 100.0
 
+    from rust_gd_spark.pipeline import DedupConfig
+
+    cfg = DedupConfig(concurrent_paths=args.concurrent_paths)
+
     if args.warmup_frac > 0:
         warm = near_dup_pipeline(
-            base.sample(args.warmup_frac, seed=7), "uid", "text",
+            base.sample(args.warmup_frac, seed=7), "uid", "text", cfg,
             collect_stats=False,
         )
         warm.clusters.select("cluster_id").distinct().count()
@@ -119,7 +129,7 @@ def main() -> None:
     tot0, st0 = _cpu_times(args.cores)
     t0 = time.monotonic()
     result = near_dup_pipeline(
-        base, "uid", "text", collect_stats=args.collect_stats
+        base, "uid", "text", cfg, collect_stats=args.collect_stats
     )
     n_clusters = result.clusters.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
