@@ -117,6 +117,22 @@ def _q_minhash_lsh(spark, sf_dir):
     return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_minhash_lsh_oph(spark, sf_dir):
+    """Same contract as ``minhash_lsh_pairs`` but through the densified
+    one-permutation-hashing kernel (``scheme="oph"``, Li'12/Shrivastava-
+    Li'14) — the extreme-scale signature path. The oracle-soundness
+    argument is the same fixture-margin one: per-slot collision
+    probability ≈ J, so at J ≥ 0.875 a banded miss stays astronomically
+    unlikely, and the exact-Jaccard verify makes precision exact."""
+    from rust_gd_spark.operators.minhash import minhash_near_dup_pairs
+
+    p = minhash_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", w=SHINGLE_W,
+        threshold=JACCARD_T, scheme="oph",
+    )
+    return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_text_stats(spark, sf_dir):
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -454,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "doc_text_stats": _q_text_stats,
         "doc_quality_lang": _q_quality_lang,
         "dedup_ratio_metric": _q_dedup_metrics,
@@ -649,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _JACCARD_SQL,
+        "minhash_lsh_pairs_oph": _JACCARD_SQL,
         "doc_text_stats": f"""
             select doc_id,
                    {ts.token_count_sql('text')} as token_cnt,

@@ -55,6 +55,8 @@ def main() -> None:
     q = entrymod.queries()
     timed("exact_dedup", lambda: _force(q["exact_dedup"](spark, sf_dir)))
     timed("minhash_lsh_pairs", lambda: _force(q["minhash_lsh_pairs"](spark, sf_dir)))
+    timed("minhash_lsh_pairs_oph",
+          lambda: _force(q["minhash_lsh_pairs_oph"](spark, sf_dir)))
     timed("simhash_pairs", lambda: _force(q["simhash_pairs"](spark, sf_dir)))
     timed("simhash_rotation_pairs",
           lambda: _force(q["simhash_rotation_pairs"](spark, sf_dir)))

@@ -40,6 +40,15 @@ from pyspark.sql import DataFrame, functions as F, types as T
 MERSENNE_P = (1 << 61) - 1
 _MAX_HASH = np.uint64((1 << 61) - 1)
 
+# --- one-permutation hashing (OPH) constants -------------------------------
+# splitmix64 finalizer constants (public domain, Steele et al.) — the OPH
+# rehash must decorrelate the shingle hash's low bits before bucketing.
+_SM_A = np.uint64(0x9E3779B97F4A7C15)
+_SM_B = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C = np.uint64(0x94D049BB133111EB)
+_OPH_SENT = np.uint64(0xFFFFFFFFFFFFFFFF)  # empty-bucket sentinel
+_OPH_OFF = np.uint64(0x165667B19E3779F9)   # densification distance offset
+
 
 def normalize_text(col):
     """lower → strip non-alphanumerics → collapse whitespace.
@@ -218,16 +227,94 @@ def shingle_df(
     )
 
 
+def _oph_signatures_chunk(
+    flat: np.ndarray, starts: np.ndarray, num_perm: int
+) -> np.ndarray:
+    """Densified one-permutation MinHash signatures for one segment chunk.
+
+    One-permutation hashing (Li, Owen, Zhang NIPS'12) + rotation
+    densification (Shrivastava & Li ICML'14): instead of k independent
+    (a_j·h+b_j) passes — an O(m·k) matrix whose memory traffic made the
+    signature stage the measured non-scaling bottleneck of the whole
+    pipeline (BASELINE.md round-3 profile: ~80 s at 4 AND 16 executors) —
+    each shingle is rehashed ONCE (splitmix64 finalizer), routed to bucket
+    ``g mod k``, and each bucket keeps its min. Empty buckets borrow the
+    nearest filled bucket to their left (circular) at distance t, offset by
+    ``t·_OPH_OFF`` so two rows borrowing different sources never spuriously
+    match. O(m + n·k) work, ~14× less memory traffic than the k-perm
+    kernel at k=128.
+
+    Estimator property: P[sig_j(A) = sig_j(B)] ≈ J(A,B) per slot (exact
+    for slots filled on both sides; the densified slots are the published
+    rotation scheme, mirrored left). The LSH banding math is unchanged and
+    the downstream exact-Jaccard verify keeps precision exact either way.
+
+    Rows with zero shingles are the caller's concern (``iter_segments``
+    skips them); a chunk row with ≥1 shingle always densifies fully.
+    """
+    assert num_perm & (num_perm - 1) == 0, "oph requires power-of-two num_perm"
+    n_rows = len(starts)
+    lens = np.diff(np.append(starts, len(flat)))
+
+    g = flat.astype(np.uint64) * _SM_A
+    g ^= g >> np.uint64(29)
+    g *= _SM_B
+    g ^= g >> np.uint64(32)
+    bucket = (g & np.uint64(num_perm - 1)).astype(np.int64)
+    val = g >> np.uint64(num_perm.bit_length() - 1)
+
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    sig = np.full(n_rows * num_perm, _OPH_SENT, dtype=np.uint64)
+    np.minimum.at(sig, row * num_perm + bucket, val)
+    sig = sig.reshape(n_rows, num_perm)
+
+    # rotation densification: nearest filled bucket to the left (circular),
+    # via one forward maximum.accumulate — no log-k doubling passes.
+    cols = np.arange(num_perm, dtype=np.int32)
+    big = np.int32(1 << 20)
+    posl = np.where(sig != _OPH_SENT, cols, -big)
+    pref = np.maximum.accumulate(posl, axis=1)
+    last = pref[:, -1:]
+    nearest = np.where(pref != -big, pref, last - num_perm)
+    dist = (cols - nearest).astype(np.uint64)
+    src = nearest % num_perm
+    valm = np.take_along_axis(sig, src.astype(np.int64), axis=1)
+    return (valm + dist * _OPH_OFF) & _MAX_HASH
+
+
 def minhash_signatures(
-    shingles: DataFrame, num_perm: int = 128, seed: int = 1
+    shingles: DataFrame, num_perm: int = 128, seed: int = 1,
+    scheme: str = "kperm",
 ) -> DataFrame:
     """``(id, sig array<long>[num_perm])`` via one vectorized pandas UDF.
 
-    sig_j = min over shingle hashes h of ((a_j * h + b_j) mod (2^61 - 1)),
-    a/b drawn once from a seeded RNG on the driver and captured in the UDF
-    closure (the reference broadcasts its generator matrix the same way,
-    `rs/mod.rs:25-60` → SURVEY.md A12).
+    ``scheme="kperm"``: sig_j = min over shingle hashes h of
+    ((a_j * h + b_j) mod (2^61 - 1)), a/b drawn once from a seeded RNG on
+    the driver and captured in the UDF closure (the reference broadcasts
+    its generator matrix the same way, `rs/mod.rs:25-60` → SURVEY.md A12).
+
+    ``scheme="oph"``: densified one-permutation hashing — O(m) per doc
+    instead of O(m·num_perm); see ``_oph_signatures_chunk``. The scale
+    default for the pipeline (``DedupConfig.minhash_scheme``); ``seed`` is
+    unused (the single permutation is the fixed splitmix64 rehash).
     """
+    if scheme == "oph":
+        from ._vectorize import iter_segments
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def oph_sig_udf(col: pd.Series) -> pd.Series:
+            out = np.full(
+                (len(col), num_perm), np.int64(_MAX_HASH), dtype=np.int64
+            )
+            for idx, flat, starts in iter_segments(col, budget=1 << 16):
+                out[idx] = _oph_signatures_chunk(
+                    flat, starts, num_perm
+                ).view(np.int64)
+            return pd.Series(list(out))
+
+        return shingles.select("id", oph_sig_udf("shingles").alias("sig"))
+    if scheme != "kperm":
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
@@ -272,9 +359,15 @@ def minhash_band_hashes(
     bands: int = 32,
     rows: int = 4,
     seed: int = 1,
+    scheme: str = "kperm",
 ) -> DataFrame:
     """``(id, bands array<long>[bands])`` — MinHash signature + LSH band
     hashing FUSED in one vectorized kernel.
+
+    ``scheme="oph"`` swaps the k-permutation signature matrix for densified
+    one-permutation hashing (``_oph_signatures_chunk``) — same banding
+    semantics over a signature computed with ~14× less memory traffic; the
+    scale path for the pipeline's measured bandwidth-bound stage.
 
     The two-step form (``minhash_signatures`` → ``lsh_bands``) ships the
     full ``num_perm``-long signature through Arrow/checkpoint and computes
@@ -290,6 +383,29 @@ def minhash_band_hashes(
     stays for signature-level inspection/tests.
     """
     assert bands * rows == num_perm
+
+    def _fold_bands(sig: np.ndarray, n: int) -> pd.Series:
+        m = sig.reshape(n, bands, rows)
+        h = m[:, :, 0].copy()
+        for j in range(1, rows):
+            np.multiply(h, _SH_B, out=h)
+            np.add(h, m[:, :, j], out=h)
+        return pd.Series(list(h.view(np.int64)))
+
+    if scheme == "oph":
+        from ._vectorize import iter_segments
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def oph_band_udf(col: pd.Series) -> pd.Series:
+            sig = np.full((len(col), num_perm), _MAX_HASH, dtype=np.uint64)
+            for idx, flat, starts in iter_segments(col, budget=1 << 16):
+                sig[idx] = _oph_signatures_chunk(flat, starts, num_perm)
+            return _fold_bands(sig, len(col))
+
+        return shingles.select("id", oph_band_udf("shingles").alias("bands"))
+    if scheme != "kperm":
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
+
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
@@ -315,12 +431,7 @@ def minhash_band_hashes(
             np.add(v, b[None, :], out=v)
             np.bitwise_and(v, _MAX_HASH, out=v)
             sig[idx] = np.minimum.reduceat(v, starts, axis=0)
-        m = sig.reshape(len(col), bands, rows)
-        h = m[:, :, 0].copy()
-        for j in range(1, rows):
-            np.multiply(h, _SH_B, out=h)
-            np.add(h, m[:, :, j], out=h)
-        return pd.Series(list(h.view(np.int64)))
+        return _fold_bands(sig, len(col))
 
     return shingles.select("id", band_udf("shingles").alias("bands"))
 
@@ -413,10 +524,13 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     max_bucket_size: int = 2000,
     seed: int = 1,
+    scheme: str = "kperm",
 ) -> DataFrame:
     """End-to-end MinHash/LSH near-dup pairs, exact-Jaccard verified.
 
-    With (bands=32, rows=4): P[miss | J=0.8] = (1 - 0.8^4)^32 ≈ 5e-8.
+    With (bands=32, rows=4): P[miss | J=0.8] = (1 - 0.8^4)^32 ≈ 5e-8
+    (``scheme="oph"``: same banding math over the densified-OPH signature,
+    whose per-slot collision probability is likewise ≈ J).
     """
     # shingles feed three consumers (signatures + both verify sides);
     # eager materialization computes the shingling exactly once.
@@ -425,7 +539,7 @@ def minhash_near_dup_pairs(
     # twice (count agg + prune join) and the signature kernel is this
     # operator's dominant cost — the band explode re-derives cheaply.
     bh = minhash_band_hashes(
-        sh, num_perm=num_perm, bands=bands, rows=rows, seed=seed
+        sh, num_perm=num_perm, bands=bands, rows=rows, seed=seed, scheme=scheme
     ).localCheckpoint(eager=True)
     bandsdf = explode_band_hashes(bh)
     pairs, _ = lsh_candidate_pairs(bandsdf, max_bucket_size=max_bucket_size)

@@ -36,6 +36,15 @@ class DedupConfig:
     num_perm: int = 128
     bands: int = 32
     rows: int = 4
+    # MinHash signature kernel:
+    # * "kperm" — num_perm independent (a·h+b) permutations, the textbook
+    #   family; O(m·num_perm) memory traffic per doc, measured as the
+    #   pipeline's bandwidth-bound non-scaling stage (BASELINE.md r3).
+    # * "oph"   — densified one-permutation hashing (Li'12 / Shrivastava-
+    #   Li'14): one rehash per shingle + bucket-min + rotation
+    #   densification, O(m + num_perm) — ~14× less traffic, same banding
+    #   semantics, verify still exact. The extreme-scale kernel.
+    minhash_scheme: str = "kperm"
     jaccard_threshold: float = 0.7
     char_k: int = 8                  # char-gram width (SimHash path)
     # SimHash candidate generation:
@@ -275,7 +284,8 @@ def near_dup_pipeline(
             # input twice (count agg + prune join), and without this the
             # signature kernel — the path's dominant cost — ran twice.
             bh = minhash.minhash_band_hashes(
-                shingles, cfg.num_perm, cfg.bands, cfg.rows, cfg.seed
+                shingles, cfg.num_perm, cfg.bands, cfg.rows, cfg.seed,
+                scheme=cfg.minhash_scheme,
             ).localCheckpoint(eager=True)
             bands = minhash.explode_band_hashes(bh)
             return minhash.lsh_candidate_pairs(

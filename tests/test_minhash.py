@@ -64,6 +64,68 @@ def test_minhash_estimates_jaccard(spark):
     assert abs(est - true_j) < 0.12, (est, true_j)
 
 
+def test_oph_kernel_unit():
+    """Densified-OPH chunk kernel: determinism, full densification, and
+    identical-input ⇒ identical-signature."""
+    rng = np.random.default_rng(3)
+    lens = np.array([1, 40, 300, 40])
+    starts = np.zeros(4, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    flat = rng.integers(0, 1 << 63, size=int(lens.sum()), dtype=np.uint64)
+    flat[starts[3] : starts[3] + 40] = flat[starts[1] : starts[1] + 40]
+    s1 = mh._oph_signatures_chunk(flat, starts, 128)
+    s2 = mh._oph_signatures_chunk(flat, starts, 128)
+    assert np.array_equal(s1, s2)
+    assert s1.shape == (4, 128)
+    # every slot densified below the 61-bit ceiling, even for 1 shingle
+    assert (s1 <= np.uint64((1 << 61) - 1)).all()
+    # identical shingle multisets -> identical signatures
+    assert np.array_equal(s1[1], s1[3])
+    # disjoint sets -> (essentially) disjoint signatures
+    assert (s1[1] == s1[2]).mean() < 0.1
+    with pytest.raises(AssertionError):
+        mh._oph_signatures_chunk(flat, starts, 100)  # not a power of two
+
+
+def test_oph_signatures_estimate_jaccard(spark):
+    """Densified-OPH slot agreement rate ≈ true Jaccard (Shrivastava-Li'14
+    estimator property), same tolerance as the k-perm family."""
+    base = " ".join(f"w{i}" for i in range(200))
+    variant = " ".join(f"w{i}" for i in range(150)) + " " + " ".join(
+        f"x{i}" for i in range(50)
+    )
+    df = spark.createDataFrame([("a", base), ("b", variant)], ["uid", "text"])
+    sh = mh.shingle_df(df, "uid", "text", w=3)
+    sigs = {
+        r.id: np.array(r.sig)
+        for r in mh.minhash_signatures(sh, 256, scheme="oph").collect()
+    }
+    est = float((sigs["a"] == sigs["b"]).mean())
+    rows = {r.id: set(r.shingles) for r in sh.collect()}
+    true_j = len(rows["a"] & rows["b"]) / len(rows["a"] | rows["b"])
+    assert abs(est - true_j) < 0.12, (est, true_j)
+
+
+def test_oph_lsh_pairs_match_exact_oracle(spark, turns_df):
+    """scheme='oph' end-to-end: recall vs the exact-Jaccard operator at
+    matched config ≥ 0.99, verify keeps precision exact."""
+    got = {
+        (r.id_l, r.id_r)
+        for r in mh.minhash_near_dup_pairs(
+            turns_df, "uid", "text", threshold=0.7, scheme="oph"
+        ).collect()
+    }
+    exp = {
+        (r.id_l, r.id_r)
+        for r in mh.exact_jaccard_pairs(
+            turns_df, "uid", "text", threshold=0.7
+        ).collect()
+    }
+    assert exp
+    assert len(got & exp) / len(exp) >= 0.99
+    assert got <= exp
+
+
 def test_lsh_pairs_match_exact_oracle(spark, turns_df):
     """Dup-pair recall vs the exact-Jaccard operator at matched config
     must be >= 0.99 (BASELINE.json) — on the fixture it is 1.0."""

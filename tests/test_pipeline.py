@@ -269,6 +269,31 @@ def test_simhash_rotation_mode_matches_banding(spark, turns_df):
     assert "simhash_pairs" in {r.stage for r in res_rot.metrics.collect()}
 
 
+def test_minhash_oph_scheme_matches_kperm(spark, turns_df):
+    """minhash_scheme='oph' (densified one-permutation hashing) through the
+    FULL pipeline must produce the same cluster partition as the k-perm
+    kernel: both candidate generators have per-band miss probability ≪ 1
+    on the fixture's high-margin near-dups, and the exact-Jaccard verify
+    makes precision identical — so the verified edge set, hence the CC
+    partition, coincides."""
+    base = DedupConfig(enable_simhash=False, enable_substring=False)
+    from dataclasses import replace
+
+    res_kperm = near_dup_pipeline(turns_df, "uid", "text", base)
+    res_oph = near_dup_pipeline(
+        turns_df, "uid", "text", replace(base, minhash_scheme="oph")
+    )
+
+    def partition(df):
+        by = {}
+        for r in df.collect():
+            by.setdefault(r.cluster_id, set()).add(r.id)
+        return frozenset(frozenset(v) for v in by.values())
+
+    assert partition(res_kperm.clusters) == partition(res_oph.clusters)
+    assert "minhash_pairs" in {r.stage for r in res_oph.metrics.collect()}
+
+
 def test_null_text_rows_survive(spark):
     """NULL text is in-contract (normalize_text coalesces NULL to '').
     md5(NULL) is NULL, and a null-unsafe equi-join on the content key

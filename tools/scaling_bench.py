@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--granularity", choices=["turn", "conv"], default="turn")
     ap.add_argument(
+        "--minhash-scheme", choices=["kperm", "oph"], default="kperm",
+        help="MinHash signature kernel: kperm (textbook k permutations) or "
+        "oph (densified one-permutation hashing — O(m) per doc, the "
+        "bandwidth fix for the measured non-scaling signature stage)",
+    )
+    ap.add_argument(
         "--concurrent-paths", action="store_true",
         help="submit the three candidate paths as concurrent Spark jobs "
         "(DedupConfig.concurrent_paths) — the multi-executor-cluster mode; "
@@ -117,7 +123,10 @@ def main() -> None:
 
     from rust_gd_spark.pipeline import DedupConfig
 
-    cfg = DedupConfig(concurrent_paths=args.concurrent_paths)
+    cfg = DedupConfig(
+        concurrent_paths=args.concurrent_paths,
+        minhash_scheme=args.minhash_scheme,
+    )
 
     if args.warmup_frac > 0:
         warm = near_dup_pipeline(
@@ -162,6 +171,7 @@ def main() -> None:
         "granularity": args.granularity,
         "steal_pct": steal_pct,
         "mode": args.mode,
+        "minhash_scheme": args.minhash_scheme,
     }
     line = json.dumps(rec)
     print(line)
