@@ -133,6 +133,29 @@ def _q_minhash_lsh_oph(spark, sf_dir):
     return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_decontam(spark, sf_dir):
+    """Test-set decontamination: contamination fraction of every document
+    against a deterministic 5% 'benchmark' slice (doc_id % 20 == 0) of the
+    same table — exact n-gram containment, so the DuckDB string-n-gram
+    oracle matches bit-for-bit (hashed grams are injective mod 64-bit
+    collisions, same argument as the Jaccard oracles)."""
+    from rust_gd_spark.operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    out = decontam.ngram_containment(
+        docs, ref, "doc_id", "text", ref_text_col="text",
+        n=SHINGLE_W, threshold=0.5,
+    )
+    return out.select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contamination_frac",
+        "is_contaminated",
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -176,6 +199,36 @@ def _q_embedding_topk(spark, sf_dir):
     return cosine_topk_bruteforce(e, "vec_id", "embedding", k=TOPK).select(
         F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank"
     )
+
+
+def _q_embedding_topk_ivf(spark, sf_dir):
+    """IVF-flat top-k with EXHAUSTIVE probing (n_probe = n_centroids):
+    every cell is scanned, so the result is exact and the brute-force
+    DuckDB oracle applies bit-for-bit — this pins the whole IVF plumbing
+    (deterministic k-means train, cell assignment, home-cell join, slim
+    verify, ranked window). The pruned regime (n_probe < n_centroids) is
+    `embedding_topk_ivf_pruned` (rows-only driver check; recall pinned in
+    tests/test_embedding.py)."""
+    from rust_gd_spark.operators.embedding import cosine_topk_ivf
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return cosine_topk_ivf(
+        e, "vec_id", "embedding", k=TOPK, n_centroids=16, n_probe=16
+    ).select(F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank")
+
+
+def _q_embedding_topk_ivf_pruned(spark, sf_dir):
+    """The production IVF regime: n_probe=4 of 16 cells — each probe scans
+    ~1/4 of the corpus. Approximate by design, hence rows-only in the
+    driver; recall vs brute force is pinned in tests."""
+    from rust_gd_spark.operators.embedding import cosine_topk_ivf
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return cosine_topk_ivf(
+        e, "vec_id", "embedding", k=TOPK, n_centroids=16, n_probe=4
+    ).select(F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank")
 
 
 def _q_embedding_topk_blocked(spark, sf_dir):
@@ -471,11 +524,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
+        "decontam_ngrams": _q_decontam,
         "doc_text_stats": _q_text_stats,
         "doc_quality_lang": _q_quality_lang,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
         "embedding_topk_blocked": _q_embedding_topk_blocked,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
+        "embedding_topk_ivf_pruned": _q_embedding_topk_ivf_pruned,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "embedding_ann_highsim": _q_embedding_ann_highsim,
@@ -667,6 +723,26 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs_oph": _JACCARD_SQL,
+        "decontam_ngrams": f"""
+            with sh as (
+              select doc_id, unnest({_SHINGLES}) as s from documents
+            ),
+            d as (select distinct doc_id, s from sh),
+            ref as (select distinct s from d where doc_id % 20 = 0),
+            sizes as (select doc_id, count(*) as n from d group by doc_id),
+            hits as (
+              select d.doc_id, count(*) as c
+              from d join ref using (s) group by d.doc_id
+            )
+            select s.doc_id as id,
+                   s.n as n_grams,
+                   coalesce(h.c, 0) as n_contaminated,
+                   round(coalesce(h.c, 0)::double / greatest(s.n, 1), 6)
+                     as contamination_frac,
+                   coalesce(h.c, 0)::double / greatest(s.n, 1) >= 0.5
+                     as is_contaminated
+            from sizes s left join hits h using (doc_id)
+        """,
         "doc_text_stats": f"""
             select doc_id,
                    {ts.token_count_sql('text')} as token_cnt,
@@ -692,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_topk_cosine": _EMB_TOPK_SQL,
         "embedding_topk_blocked": _EMB_TOPK_SQL,
+        "embedding_topk_ivf": _EMB_TOPK_SQL,
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -57,6 +57,7 @@ def main() -> None:
     timed("minhash_lsh_pairs", lambda: _force(q["minhash_lsh_pairs"](spark, sf_dir)))
     timed("minhash_lsh_pairs_oph",
           lambda: _force(q["minhash_lsh_pairs_oph"](spark, sf_dir)))
+    timed("decontam_ngrams", lambda: _force(q["decontam_ngrams"](spark, sf_dir)))
     timed("simhash_pairs", lambda: _force(q["simhash_pairs"](spark, sf_dir)))
     timed("simhash_rotation_pairs",
           lambda: _force(q["simhash_rotation_pairs"](spark, sf_dir)))
@@ -66,6 +67,9 @@ def main() -> None:
     timed("embedding_topk_cosine", lambda: _force(q["embedding_topk_cosine"](spark, sf_dir)))
     timed("embedding_topk_blocked", lambda: _force(q["embedding_topk_blocked"](spark, sf_dir)))
     timed("embedding_cosine_pairs", lambda: _force(q["embedding_cosine_pairs"](spark, sf_dir)))
+    timed("embedding_topk_ivf", lambda: _force(q["embedding_topk_ivf"](spark, sf_dir)))
+    timed("embedding_topk_ivf_pruned",
+          lambda: _force(q["embedding_topk_ivf_pruned"](spark, sf_dir)))
     timed("embedding_ann_lsh", lambda: _force(q["embedding_ann_lsh"](spark, sf_dir)))
     timed("window_reassembly", lambda: _force(q["window_reassembly"](spark, sf_dir)))
     timed("window_rank", lambda: _force(q["window_rank"](spark, sf_dir)))

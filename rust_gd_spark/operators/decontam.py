@@ -1,0 +1,129 @@
+"""Test-set decontamination: n-gram containment against a reference corpus.
+
+The standard LLM-training hygiene pass (GPT-3 appendix C / PaLM-style
+13-gram overlap): a training document is contaminated if a large enough
+fraction of its word n-grams appears verbatim in a held-out reference set
+(benchmark/test corpus). This is the containment-join sibling of the
+MinHash Jaccard path — same shingle kernel, but an asymmetric semi-join
+against a (much smaller) reference n-gram set instead of a self-join.
+
+Relation to the reference engine: this is the GD dictionary probe
+(`src/dict.rs:38-63`) with a FROZEN dictionary — the reference set plays
+the role of the base dictionary, and a hit means "this span is already
+known", exactly like a chunk matching an existing base entry.
+
+Scale design (10^12-turn corpus, 10^5–10^8 reference n-grams):
+
+* Both sides shingle through ``minhash._shingle_hash_batch`` — one
+  Arrow-vectorized prefix-polynomial kernel, hashes only (8 bytes per
+  n-gram, never gram strings).
+* The reference n-gram table is distinct-aggregated first (tiny), then
+  joined with an explicit ``broadcast()`` hint below a size guard — the
+  corpus side is never shuffled by the join.
+* Per-doc counting is one partial-aggregated ``groupBy(id)`` — the only
+  shuffle, and it carries two longs per doc.
+* No driver collect anywhere; the reference set stays a DataFrame.
+
+Oracle: containment is exact set arithmetic, fully expressible in ANSI
+SQL over string n-grams (see ``__spark_entry__``), and Jaccard-style
+hash-injectivity makes the hashed form equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import minhash
+
+# Above this many distinct reference n-grams the broadcast hint is not
+# applied and the join falls back to shuffle — 50M hashes ≈ 400 MB,
+# around the sensible broadcast ceiling for a well-provisioned executor.
+MAX_BROADCAST_REF_NGRAMS = 50_000_000
+
+
+def ngram_set(
+    df: DataFrame, id_col: str, text_col: str, n: int = 13
+) -> DataFrame:
+    """``(id, shingles array<long>)`` — distinct hashed word n-grams per row.
+
+    Thin naming wrapper over ``minhash.shingle_df`` (same normalization,
+    same injective span-hash kernel) so decontamination and MinHash use
+    byte-identical n-gram definitions.
+    """
+    return minhash.shingle_df(df, id_col, text_col, w=n)
+
+
+def reference_ngrams(
+    ref_df: DataFrame, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """Distinct n-gram hashes of the reference corpus: ``(s bigint)``.
+
+    Documents shorter than ``n`` tokens contribute their whole-text hash
+    (matching ``shingle_df``'s short-row rule), so short reference rows
+    still decontaminate their exact copies.
+    """
+    ref = ref_df.select(F.monotonically_increasing_id().alias("_rid"), text_col)
+    sh = ngram_set(ref, "_rid", text_col, n=n)
+    return sh.select(F.explode("shingles").alias("s")).distinct()
+
+
+def ngram_containment(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    n: int = 13,
+    threshold: float = 0.5,
+    broadcast_ref: bool | None = None,
+) -> DataFrame:
+    """Per-document contamination vs a reference corpus.
+
+    Returns ``(id, n_grams, n_contaminated, contamination_frac,
+    is_contaminated)`` — one row per input document:
+
+    * ``n_grams``          — distinct word n-grams in the document;
+    * ``n_contaminated``   — how many of them occur anywhere in ``ref_df``;
+    * ``contamination_frac`` = n_contaminated / n_grams;
+    * ``is_contaminated``  — frac >= ``threshold``.
+
+    ``broadcast_ref=None`` (default) counts the reference set once and
+    broadcasts iff it fits ``MAX_BROADCAST_REF_NGRAMS``; pass True/False
+    to force. The count costs one job over the (small) reference side
+    only — never over the corpus.
+    """
+    sh = ngram_set(df, id_col, text_col, n=n)
+    posting = sh.select("id", F.explode("shingles").alias("s"))
+
+    ref = reference_ngrams(ref_df, ref_text_col, n=n).withColumn(
+        "hit", F.lit(1)
+    )
+    if broadcast_ref is None:
+        broadcast_ref = ref.count() <= MAX_BROADCAST_REF_NGRAMS
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+
+    # LEFT OUTER against the (distinct) reference set keeps every posting
+    # row, so zero-hit documents survive without a second corpus-side
+    # join: n_grams and n_contaminated fall out of ONE partial-aggregated
+    # groupBy — the only shuffle in the operator. (shingle_df emits >= 1
+    # shingle for every row, empty text included, so no document vanishes.)
+    out = (
+        posting.join(ref, "s", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(
+                F.col("n_contaminated")
+                / F.greatest("n_grams", F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+    return out.withColumn(
+        "is_contaminated", F.col("contamination_frac") >= F.lit(threshold)
+    )

@@ -623,3 +623,133 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    train_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a DETERMINISTIC
+    driver-side sample: the ``train_rows`` smallest ``xxhash64(id, seed)``
+    values (a hash-order top-n — stable under any partitioning, unlike
+    ``limit`` or ``sample``). Lloyd iterations are vectorized numpy;
+    empty clusters keep their previous centroid; centroids stay
+    L2-normalized so dot = cosine. Returns ``(n_centroids, dim)``.
+
+    The sample is size-guarded by construction (``train_rows`` is the
+    bound) — the corpus is never collected.
+    """
+    n = l2_normalize(df, vec_col).select(F.col(id_col).alias("id"), "vnorm")
+    samp = (
+        n.withColumn("_h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("_h", "id")
+        .limit(train_rows)
+        .toPandas()
+    )
+    X = np.stack(samp["vnorm"].to_numpy()).astype(np.float64)
+    n_centroids = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=n_centroids)
+        nz = counts > 0
+        C[nz] = sums[nz]
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C /= norms
+    return C
+
+
+def ivf_assignments(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+) -> DataFrame:
+    """``(id, vnorm, cells array<int>[n_probe])`` — the ``n_probe``
+    nearest coarse cells per vector, nearest first (``cells[0]`` is the
+    home cell the vector is indexed under). One broadcast matmul per
+    Arrow batch; ties broken by cell index (stable argsort) so the
+    assignment is deterministic.
+    """
+    n_probe = min(n_probe, len(centroids))
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        C = bc.value
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        order = np.argsort(-(X @ C.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    n = l2_normalize(df, vec_col).select(F.col(id_col).alias("id"), "vnorm")
+    return n.select("id", "vnorm", cells_udf("vnorm").alias("cells"))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    train_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (the FAISS IVF-flat
+    plan, DataFrame-shaped): spherical-k-means cells partition the corpus;
+    each probe scans only its ``n_probe`` nearest cells. Same output
+    contract as ``cosine_topk_bruteforce`` (id, neighbor_id, cosine, rank;
+    deterministic tie order), exact cosine re-rank on candidates.
+
+    Scale shape (the reason this exists next to the LSH path): the
+    cell equi-join shuffles each index vector ONCE (its home cell) and
+    each probe ``n_probe`` times as a slim (id, cell) stream — candidate
+    volume is n·n_probe·(n/n_centroids) in expectation, tunable
+    independently of any similarity threshold (LSH banding needs a τ to
+    pick band widths; top-k has none). A (probe, neighbor) pair can meet
+    in at most one cell (the neighbor's home), so the stream needs no
+    dedup; vectors attach only in the slim verify join
+    (``_verify_cosine``); per-probe ranking is a bounded window.
+
+    ``n_probe >= n_centroids`` probes every cell — exact by construction
+    (the oracle-checkable config); recall at pruned ``n_probe`` is pinned
+    in tests against the brute-force baseline.
+    """
+    C = train_ivf_centroids(
+        df, id_col, vec_col, n_centroids, train_rows, iters, seed
+    )
+    asg = ivf_assignments(df, C, id_col, vec_col, n_probe).localCheckpoint(
+        eager=True
+    )
+    index = asg.select(
+        F.col("cells")[0].alias("cell"), F.col("id").alias("neighbor_id")
+    )
+    probes = asg.select("id", F.explode("cells").alias("cell"))
+    cand = (
+        probes.join(index, "cell")
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .select("id", "neighbor_id")
+    )
+    scored = _verify_cosine(cand, asg, "id", "neighbor_id").select(
+        "id", "neighbor_id", "cosine"
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

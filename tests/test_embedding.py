@@ -156,3 +156,61 @@ def test_prefilter_cutoff_monotone():
     assert emb.prefilter_hamming_cutoff(0.9, 64) < emb.prefilter_hamming_cutoff(0.5, 64)
     assert emb.prefilter_hamming_cutoff(0.9, 64) >= 9   # >= mean bits
     assert emb.prefilter_hamming_cutoff(0.35, 256) <= 256
+
+
+def test_ivf_exhaustive_probe_matches_bruteforce(spark, planted):
+    """n_probe >= n_centroids probes every cell — the IVF plumbing
+    (train, assign, cell join, verify, rank) must reproduce the exact
+    brute-force top-k bit-for-bit."""
+    df, _, _ = planted
+    exact = sorted(
+        (r.id, r.rank, r.neighbor_id, r.cosine)
+        for r in emb.cosine_topk_bruteforce(df, k=3).collect()
+    )
+    ivf = sorted(
+        (r.id, r.rank, r.neighbor_id, r.cosine)
+        for r in emb.cosine_topk_ivf(
+            df, k=3, n_centroids=8, n_probe=8, train_rows=500
+        ).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_pruned_recall_and_planted_pairs(spark, planted):
+    """Pruned probing (n_probe=4 of 8 cells): overall top-1 recall vs
+    brute force stays high, and every planted near-dup (cosine ≥ .95,
+    i.e. nearly colinear — same home cell with margin) is found."""
+    df, _, pairs = planted
+    exact1 = {
+        r.id: r.neighbor_id
+        for r in emb.cosine_topk_bruteforce(df, k=1).collect()
+    }
+    got1 = {
+        r.id: r.neighbor_id
+        for r in emb.cosine_topk_ivf(
+            df, k=1, n_centroids=8, n_probe=4, train_rows=500
+        ).collect()
+    }
+    hits = sum(got1.get(i) == n for i, n in exact1.items())
+    assert hits / len(exact1) >= 0.9, hits / len(exact1)
+    for src, dup in pairs:
+        assert got1.get(dup) == src, (src, dup)
+
+
+def test_ivf_determinism(spark, planted):
+    df, _, _ = planted
+    a = sorted(map(tuple, emb.cosine_topk_ivf(df, k=2, n_centroids=8,
+                                              n_probe=2).collect()))
+    b = sorted(map(tuple, emb.cosine_topk_ivf(df, k=2, n_centroids=8,
+                                              n_probe=2).collect()))
+    assert a == b
+
+
+def test_ivf_centroids_normalized_and_bounded(spark, planted):
+    df, _, _ = planted
+    C = emb.train_ivf_centroids(df, n_centroids=8, train_rows=100)
+    assert C.shape[0] == 8
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    # n_centroids above the sample size degrades gracefully
+    C2 = emb.train_ivf_centroids(df, n_centroids=500, train_rows=64)
+    assert C2.shape[0] == 64
