@@ -78,9 +78,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     prev_sig = None
     for it in range(max_iter):
         cur = _canon(_small_star(_large_star(cur)))
-        # signature collect is an action every round anyway; eager
-        # localCheckpoint keeps the lineage O(1) instead of O(rounds)
-        cur = cur.localCheckpoint(eager=True)
+        # LAZY localCheckpoint: the signature action right below both
+        # materializes the checkpoint and computes the convergence
+        # signature in ONE job — one driver barrier per round instead of
+        # two (the barrier count is the dominant non-scaling residue of
+        # the whole pipeline at high executor counts; BASELINE.md §Amdahl).
+        # Lineage still truncates to O(1) at the checkpoint.
+        cur = cur.localCheckpoint(eager=False)
         sig = _signature(cur)
         if sig == prev_sig:
             break

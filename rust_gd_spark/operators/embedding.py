@@ -730,6 +730,16 @@ def cosine_topk_ivf(
     ``n_probe >= n_centroids`` probes every cell — exact by construction
     (the oracle-checkable config); recall at pruned ``n_probe`` is pinned
     in tests against the brute-force baseline.
+
+    Physical-plan notes (verified at sf0.1): the per-probe rank compiles
+    to ``WindowGroupLimit`` partial+final — Spark's top-k pushdown keeps
+    only k rows per probe on each side of the exchange, so the window
+    never materializes the candidate stream. The cell join key has only
+    ``n_centroids`` distinct values BY DESIGN (cells are the IVF lists);
+    at corpus scale that join is a shuffle whose per-cell partitions are
+    large and uniform-ish — AQE skew-join splits hot cells, which is
+    where intra-cell parallelism comes from (raise ``n_centroids`` with
+    corpus size, ~√n as in FAISS practice, so cells stay executor-sized).
     """
     C = train_ivf_centroids(
         df, id_col, vec_col, n_centroids, train_rows, iters, seed
