@@ -82,7 +82,7 @@ def oracle_pairs(spark, turns_df, small_corpus):
     fp_rows = sh.simhash_fingerprints(
         sh.char_ngram_df(turns_df, "uid", "text", k=8)
     ).collect()
-    fp = {r.id: np.uint64(r.fp) for r in fp_rows}
+    fp = {r.id: np.uint64(r.fp & 0xFFFFFFFFFFFFFFFF) for r in fp_rows}
     # substring: 200-gram rolling hash posting lists
     from collections import defaultdict
 

@@ -45,7 +45,7 @@ def test_banding_pigeonhole_guarantee(spark, turns_df):
     fps_df = sh.simhash_fingerprints(sh.char_ngram_df(turns_df, "uid", "text", k=8))
     rows = fps_df.collect()
     ids = [r.id for r in rows]
-    v = np.array([np.uint64(r.fp) for r in rows], dtype=np.uint64)
+    v = np.array([r.fp & 0xFFFFFFFFFFFFFFFF for r in rows], dtype=np.uint64)
     x = v[:, None] ^ v[None, :]
     # popcount via bit tricks on uint64
     cnt = np.zeros(x.shape, dtype=np.int64)
