@@ -433,6 +433,29 @@ def _q_transcript_clusters(spark, sf_dir):
     return canonical_clusters(res.clusters)
 
 
+def _q_cluster_representatives(spark, sf_dir):
+    """Survivorship: per near-dup cluster, the member kept for training
+    (longest text, ties → smallest uid) + byte accounting. Runs the same
+    oracle-shaped pipeline config as `transcript_clusters`, then
+    `cluster_representatives` — one extra agg, fully SQL-expressible."""
+    from rust_gd_spark.pipeline import (
+        DedupConfig, canonical_clusters, cluster_representatives,
+        near_dup_pipeline, with_turn_uid,
+    )
+
+    tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir))
+    res = near_dup_pipeline(
+        tr, "uid", "text",
+        DedupConfig(
+            jaccard_threshold=0.5, min_substring_len=120,
+            enable_simhash=False, neighbor_window=None,
+        ),
+    )
+    return cluster_representatives(
+        canonical_clusters(res.clusters), tr, "uid", "text"
+    )
+
+
 def _q_gd_roundtrip_aligned(spark, sf_dir):
     """RS + error-alignment variant (the reference's third entry point,
     `src/lib.rs:73-78`; round-trip test `src/lib.rs:197-239`): decode on
@@ -543,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
         "gd_chunk_stats": _q_gd_chunk_stats,
         "transcript_clusters": _q_transcript_clusters,
+        "cluster_representatives": _q_cluster_representatives,
         "incremental_clusters": _q_incremental_clusters,
         "conv_repetition": _q_conv_repetition,
         "multimodal_features": _q_multimodal_features,
@@ -687,6 +711,34 @@ uids as (select {_UID_SQL} as uid, root from comp)
 select u.uid as id, m.cid as cluster_id
 from uids u join (select root, min(uid) as cid from uids group by root) m
   using (root)
+"""
+
+# Survivorship over the same closure: rep = longest text (UTF-8 bytes,
+# NULL→''), ties → smallest uid; byte accounting per cluster.
+_CLUSTER_REPS_SQL = f"""
+with clus as ({_CLUSTERS_SQL}),
+txt as (
+  select {_UID_SQL} as uid,
+         octet_length(encode(coalesce(text, ''))) as nb
+  from documents
+),
+m as (
+  select c.cluster_id, c.id, t.nb
+  from clus c join txt t on t.uid = c.id
+),
+r as (
+  select cluster_id, id, nb,
+         row_number() over (partition by cluster_id
+                            order by nb desc, id) as rk
+  from m
+)
+select cluster_id,
+       max(case when rk = 1 then id end) as rep_id,
+       count(*) as cluster_size,
+       sum(nb)::bigint as total_bytes,
+       max(case when rk = 1 then nb end)::bigint as kept_bytes
+from r
+group by cluster_id
 """
 
 _EMB_TOPK_SQL = f"""
@@ -836,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
             from conv
         """,
         "transcript_clusters": _CLUSTERS_SQL,
+        "cluster_representatives": _CLUSTER_REPS_SQL,
         "incremental_clusters": _INC_CLUSTERS_SQL,
         # NOTE: this oracle windows over CHARACTERS (DuckDB substr/length;
         # this build has no BLOB substring), while conversation_repetition

@@ -75,6 +75,8 @@ def main() -> None:
     timed("window_rank", lambda: _force(q["window_rank"](spark, sf_dir)))
     timed("join_agg_segment", lambda: _force(q["join_agg_segment"](spark, sf_dir)))
     timed("conv_repetition", lambda: _force(q["conv_repetition"](spark, sf_dir)))
+    timed("cluster_representatives",
+          lambda: _force(q["cluster_representatives"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))

@@ -465,6 +465,59 @@ def canonical_clusters(clusters: DataFrame) -> DataFrame:
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Canonical-member selection: for each dedup cluster, the member to
+    KEEP for training — longest text (most complete version), ties broken
+    by smallest id — plus survivorship stats.
+
+    This is the output analogue of the reference's base/deviation split
+    (`src/lib.rs:90-94`: `Deduped` keeps one base per dictionary entry and
+    records deviations): of a near-dup cluster we keep one representative
+    and account for the bytes the rest would have cost.
+
+    Scale notes: a single hash aggregation on ``cluster_id`` — partial
+    (map-side) aggregation applies, so a mega-cluster of boilerplate
+    costs O(|cluster|) combiner work spread over its input partitions,
+    never a single-task window. The rep is picked with
+    ``min(struct(-octet_length, id))`` (lexicographic struct ordering)
+    inside the same agg, so the whole operator is one shuffle.
+
+    Returns ``(cluster_id, rep_id, cluster_size, total_bytes,
+    kept_bytes)`` where ``total_bytes``/``kept_bytes`` are UTF-8 byte
+    counts (NULL text counts as '' per the engine's NULL doctrine).
+    """
+    members = clusters.join(
+        src.select(
+            F.col(id_col).alias("id"),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nb"),
+        ),
+        "id",
+    )
+    best = F.min(
+        F.struct((-F.col("_nb")).alias("neg_nb"), F.col("id").alias("id"))
+    ).alias("_best")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum("_nb").cast("long").alias("total_bytes"),
+            best,
+        )
+        .select(
+            "cluster_id",
+            F.col("_best.id").alias("rep_id"),
+            "cluster_size",
+            "total_bytes",
+            (-F.col("_best.neg_nb")).cast("long").alias("kept_bytes"),
+        )
+    )
+
+
 def write_outputs(result: PipelineResult, out_dir: str, run_id: str = "run-0") -> dict:
     """Persist the pipeline's output contract — the engine's analogue of the
     reference's ``Deduped`` output struct (`src/lib.rs:90-94`):

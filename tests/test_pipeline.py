@@ -334,3 +334,46 @@ def test_canonical_clusters_relabel(spark, turns_df):
     sample = list(raw)[:200]
     for a, b in _it.combinations(sample, 2):
         assert (raw[a] == raw[b]) == (canon_map[a] == canon_map[b])
+
+
+def test_cluster_representatives_semantics(spark):
+    from rust_gd_spark.pipeline import cluster_representatives
+
+    # hand-built clusters: c1 = {a,b,c} (b longest), c2 = tie on length
+    # (d vs e, both 2 bytes → smallest id wins), c3 = NULL-text singleton
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"),
+         ("f", "f")],
+        "id string, cluster_id string",
+    )
+    src = spark.createDataFrame(
+        [("a", "xx"), ("b", "xxxx"), ("c", "x"), ("d", "yy"), ("e", "zz"),
+         ("f", None)],
+        "uid string, text string",
+    )
+    out = {
+        r.cluster_id: r
+        for r in cluster_representatives(clusters, src, "uid", "text").collect()
+    }
+    assert out["a"].rep_id == "b" and out["a"].kept_bytes == 4
+    assert out["a"].cluster_size == 3 and out["a"].total_bytes == 7
+    assert out["d"].rep_id == "d"  # tie → smallest id
+    assert out["f"].rep_id == "f" and out["f"].kept_bytes == 0
+
+
+def test_cluster_representatives_pipeline(spark, turns_df):
+    from rust_gd_spark.pipeline import canonical_clusters, cluster_representatives
+
+    res = near_dup_pipeline(turns_df, "uid", "text")
+    canon = canonical_clusters(res.clusters)
+    reps = cluster_representatives(canon, turns_df, "uid", "text")
+    # every cluster gets exactly one rep; sizes sum to the corpus
+    n_rows = turns_df.count()
+    rows = reps.collect()
+    assert sum(r.cluster_size for r in rows) == n_rows
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    # rep is a member and kept_bytes <= total_bytes
+    members = {r.id: r.cluster_id for r in canon.collect()}
+    for r in rows:
+        assert members[r.rep_id] == r.cluster_id
+        assert 0 <= r.kept_bytes <= r.total_bytes
