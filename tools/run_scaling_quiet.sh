@@ -122,7 +122,8 @@ run_leg() {
   local N="$1"
   start_workers "$N" || return 1
   local before after
-  before=$(wc -l < "$RESULTS" 2>/dev/null || echo 0)
+  before=0
+  [ -f "$RESULTS" ] && before=$(wc -l < "$RESULTS")
   taskset -c "$CTRL_CORES" "$SPARK_DIST/bin/spark-submit" \
     --master "$MASTER_URL" \
     --driver-memory 16g \
