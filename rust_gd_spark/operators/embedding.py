@@ -506,6 +506,12 @@ def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
 
 
+# Deterministic in fact; flagged non-deterministic so Catalyst cannot push a
+# `cosine >= tau` filter through and evaluate the einsum UDF a second time
+# (the duplicate-ArrowEvalPython plan measured on the substring verify).
+_dot_udf = _dot_udf.asNondeterministic()
+
+
 def _verify_cosine(cand: DataFrame, sigs: DataFrame, left: str, right: str) -> DataFrame:
     """Join candidate id pairs back to a slim (id, vnorm) table and compute
     exact cosine — vectors ride only on the post-prefilter survivor set."""

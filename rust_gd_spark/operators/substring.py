@@ -305,6 +305,12 @@ def verify_common_substring(
             ]
         return pd.Series(vals, dtype="int32")
 
+    # The kernel IS deterministic; the flag only stops Catalyst from
+    # duplicating the eval — pushing `common_len >= min_len` down creates a
+    # SECOND ArrowEvalPython of this (most expensive per-row) UDF, doubling
+    # the whole verify stage (measured 2x on the 2M-turn corpus profile).
+    lcs_udf = lcs_udf.asNondeterministic()
+
     return (
         j.withColumn("common_len", lcs_udf("t_l", "t_r"))
         .filter(F.col("common_len") >= min_len)
