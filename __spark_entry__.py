@@ -392,6 +392,43 @@ def _q_embedding_ann_highsim(spark, sf_dir):
     ).select(F.col("id_l").alias("vec_l"), F.col("id_r").alias("vec_r"), "cosine")
 
 
+def _q_training_data_prep(spark, sf_dir):
+    """The end-to-end training-corpus composite (quality gate →
+    decontamination vs the doc_id%20 'benchmark' slice → near-dup dedup →
+    survivorship), oracle-checked: every gate compares ROUNDED scores (the
+    engine-wide 6-dp oracle precision) and the dedup runs the oracle-shaped
+    config (no simhash, exact in-bucket pairs), so the DuckDB recursive-CTE
+    closure over the filtered survivor set reproduces the output
+    bit-for-bit."""
+    from rust_gd_spark.pipeline import DedupConfig
+    from rust_gd_spark.prep import training_data_prep
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    return training_data_prep(
+        docs, ref, "doc_id", "text",
+        quality_min=0.7, ngram_n=SHINGLE_W, contamination_max=0.5,
+        cfg=DedupConfig(
+            jaccard_threshold=JACCARD_T, min_substring_len=120,
+            enable_simhash=False, neighbor_window=None,
+        ),
+    )
+
+
+def _q_embedding_dedup_clusters(spark, sf_dir):
+    """Semantic-dedup clusters: connected components over the exact
+    cosine ≥ 0.35 pair graph (the same edge set the oracle-green
+    `embedding_cosine_pairs` emits), cluster_id = min member vec_id.
+    Oracle = DuckDB recursive-CTE transitive closure over those pairs."""
+    from rust_gd_spark.operators.embedding import embedding_dedup_clusters
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return embedding_dedup_clusters(
+        e, "vec_id", "embedding", threshold=0.35, block_rows=512
+    ).select(F.col("id").alias("vec_id"), "cluster_id")
+
+
 def _q_gd_roundtrip(spark, sf_dir):
     from rust_gd_spark.gd.spark import gd_conversation_roundtrip
 
@@ -568,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_clusters": _q_transcript_clusters,
         "cluster_representatives": _q_cluster_representatives,
         "incremental_clusters": _q_incremental_clusters,
+        "training_data_prep": _q_training_data_prep,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "conv_repetition": _q_conv_repetition,
         "multimodal_features": _q_multimodal_features,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
@@ -741,6 +780,118 @@ from r
 group by cluster_id
 """
 
+# training_data_prep: quality gate (rounded score >= 0.7) → decontam vs the
+# doc_id%20 slice (rounded containment < 0.5) → transitive closure over
+# exact+jaccard+substring edges among the survivors → survivorship with the
+# kept member's quality. Mirrors rust_gd_spark/prep.py gate-for-gate.
+_PREP_SQL = f"""
+with recursive
+passed as (
+  select doc_id, text, round({ts.quality_score_sql('text')}, 6) as quality
+  from documents
+  where round({ts.quality_score_sql('text')}, 6) >= 0.7
+),
+allsh as (select doc_id, unnest({_SHINGLES}) as s from documents),
+refg as (select distinct s from allsh where doc_id % 20 = 0),
+psh_raw as (select doc_id, unnest({_SHINGLES}) as s from passed),
+psh as (select distinct doc_id, s from psh_raw),
+sizes as (select doc_id, count(*) as n from psh group by doc_id),
+hits as (
+  select p.doc_id, count(*) as c from psh p join refg using (s)
+  group by p.doc_id
+),
+clean as (
+  select p.doc_id, p.text, p.quality
+  from passed p
+  join sizes s using (doc_id)
+  left join hits h using (doc_id)
+  where round(coalesce(h.c, 0)::double / greatest(s.n, 1), 6) < 0.5
+),
+csh as (select p.doc_id, p.s from psh p join clean using (doc_id)),
+csizes as (select doc_id, count(*) as n from csh group by doc_id),
+common as (
+  select l.doc_id as a, r.doc_id as b, count(*) as c
+  from csh l join csh r on l.s = r.s and l.doc_id < r.doc_id
+  group by 1, 2
+),
+jac as (
+  select c.a, c.b from common c
+  join csizes sl on sl.doc_id = c.a join csizes sr on sr.doc_id = c.b
+  where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
+),
+wins as (
+  select distinct doc_id, md5(substr(text, i, 120)) as h
+  from clean, unnest(range(1, length(text) - 118)) as t(i)
+  where length(text) >= 120
+),
+sub as (
+  select l.doc_id as a, r.doc_id as b
+  from wins l join wins r on l.h = r.h and l.doc_id < r.doc_id
+  group by 1, 2
+),
+ex as (
+  select min(doc_id) over (partition by md5(coalesce(text, ''))) as a,
+         doc_id as b
+  from clean
+),
+edges as (
+  select a, b from ex where a <> b
+  union select a, b from jac
+  union select a, b from sub
+),
+sym as (select a, b from edges union select b as a, a as b from edges),
+reach(src, dst) as (
+  select doc_id, doc_id from clean
+  union
+  select r.src, s.b from reach r join sym s on r.dst = s.a
+),
+comp as (select src as doc_id, min(dst) as root from reach group by src),
+m as (
+  select comp.root, comp.doc_id,
+         octet_length(encode(coalesce(c.text, ''))) as nb, c.quality
+  from comp join clean c using (doc_id)
+),
+rr as (
+  select root, doc_id, nb, quality,
+         row_number() over (partition by root order by nb desc, doc_id) as rk
+  from m
+)
+select root as cluster_id,
+       max(case when rk = 1 then doc_id end) as rep_id,
+       count(*) as cluster_size,
+       sum(nb)::bigint as total_bytes,
+       max(case when rk = 1 then nb end)::bigint as kept_bytes,
+       max(case when rk = 1 then quality end) as rep_quality
+from rr
+group by root
+"""
+
+# embedding_dedup_clusters: transitive closure over the exact cosine>=0.35
+# pair graph (same edge predicate as the embedding_cosine_pairs oracle).
+_EMB_CLUSTERS_SQL = """
+with recursive
+n as (
+  select vec_id,
+         list_transform(embedding, x -> x::double /
+           sqrt(list_sum(list_transform(embedding, y -> y::double * y::double))))
+           as v
+  from embeddings
+),
+pairs as (
+  select l.vec_id as a, r.vec_id as b
+  from n l join n r on l.vec_id < r.vec_id
+  where round(list_sum(list_transform(range(1, len(l.v) + 1),
+              i -> l.v[i] * r.v[i])), 6) >= 0.35
+),
+sym as (select a, b from pairs union select b as a, a as b from pairs),
+reach(src, dst) as (
+  select vec_id, vec_id from embeddings
+  union
+  select r.src, s.b from reach r join sym s on r.dst = s.a
+)
+select src as vec_id, min(dst) as cluster_id from reach group by src
+"""
+
 _EMB_TOPK_SQL = f"""
 with n as (
   select vec_id,
@@ -890,6 +1041,8 @@ def oracle_sql() -> dict[str, str]:
         "transcript_clusters": _CLUSTERS_SQL,
         "cluster_representatives": _CLUSTER_REPS_SQL,
         "incremental_clusters": _INC_CLUSTERS_SQL,
+        "training_data_prep": _PREP_SQL,
+        "embedding_dedup_clusters": _EMB_CLUSTERS_SQL,
         # NOTE: this oracle windows over CHARACTERS (DuckDB substr/length;
         # this build has no BLOB substring), while conversation_repetition
         # computes UTF-8 BYTE windows. They coincide on the ASCII-only

@@ -77,6 +77,10 @@ def main() -> None:
     timed("conv_repetition", lambda: _force(q["conv_repetition"](spark, sf_dir)))
     timed("cluster_representatives",
           lambda: _force(q["cluster_representatives"](spark, sf_dir)))
+    timed("training_data_prep",
+          lambda: _force(q["training_data_prep"](spark, sf_dir)))
+    timed("embedding_dedup_clusters",
+          lambda: _force(q["embedding_dedup_clusters"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))

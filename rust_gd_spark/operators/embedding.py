@@ -769,3 +769,57 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_rows: int = 2048,
+    strategy: str = "blocked",
+    nbits: int = 256,
+    bands: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Semantic (embedding-cosine) dedup CLUSTERS: ``(id, cluster_id)`` for
+    every input vector, cluster_id = min member id of its connected
+    component in the cosine ≥ ``threshold`` pair graph.
+
+    The SemDeDup-style cluster form of the pairwise operators — the
+    embedding-space analogue of the text pipeline's exact+MinHash clusters
+    (`pipeline.near_dup_pipeline` → `assign_clusters`), and the corpus-level
+    counterpart of the reference's dictionary dedup (`src/lib.rs:90-94`:
+    every member of a cluster maps to one kept base): downstream
+    survivorship keeps one vector per cluster.
+
+    ``strategy="blocked"`` (default) builds edges with the exact
+    distributed tile scan (`cosine_pairs_blocked` — O(n²) compute spread
+    over memory-bounded tile tasks, sound at any threshold);
+    ``strategy="lsh"`` uses the hyperplane-LSH candidate path
+    (`embedding_near_dup_pairs`, sub-quadratic, for high thresholds where
+    buckets are selective). Either way the edge list — not the vectors —
+    feeds large-star/small-star connected components (O(log n) rounds,
+    AQE-skew-splittable; `operators.components`), so cluster formation
+    never shuffles embeddings.
+    """
+    from .components import assign_clusters
+
+    if strategy == "lsh":
+        pairs = embedding_near_dup_pairs(
+            df, id_col, vec_col, threshold=threshold,
+            nbits=nbits, bands=bands, seed=seed, block_rows=block_rows,
+        )
+    else:
+        pairs = cosine_pairs_blocked(
+            df, id_col, vec_col, threshold=threshold, block_rows=block_rows
+        )
+    clusters = assign_clusters(
+        df.select(id_col), pairs.select("id_l", "id_r"), id_col=id_col
+    )
+    # canonical relabel: cluster_id = min member id (bit-reproducible by a
+    # SQL recursive-closure oracle; one small agg + broadcast-able join)
+    labels = clusters.groupBy("cluster_id").agg(F.min("id").alias("label"))
+    return clusters.join(labels, "cluster_id").select(
+        "id", F.col("label").alias("cluster_id")
+    )
