@@ -67,22 +67,31 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row.n), int(row.h or 0)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, rounds_per_barrier: int = 2
+) -> DataFrame:
     """``(node long, component long)`` for every node appearing in ``edges``;
     component = min node id of the connected component.
+
+    ``rounds_per_barrier`` star-star rounds are chained LAZILY between
+    materializations: a fixpoint of one round is a fixpoint of k rounds, so
+    convergence detection is unaffected — at worst the loop runs one extra
+    (already-converged, near-free) round before noticing. Each skipped
+    barrier removes a driver round-trip AND a full write+read of the edge
+    set (the checkpoint), the dominant non-scaling residue of the whole
+    pipeline at high executor counts (BASELINE.md §Amdahl).
 
     Raises RuntimeError if not converged within ``max_iter`` rounds (CC on
     n nodes needs O(log n) — 50 covers any realistic corpus).
     """
     cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = None
-    for it in range(max_iter):
-        cur = _canon(_small_star(_large_star(cur)))
+    for it in range(0, max_iter, rounds_per_barrier):
+        for _ in range(rounds_per_barrier):
+            cur = _canon(_small_star(_large_star(cur)))
         # LAZY localCheckpoint: the signature action right below both
         # materializes the checkpoint and computes the convergence
-        # signature in ONE job — one driver barrier per round instead of
-        # two (the barrier count is the dominant non-scaling residue of
-        # the whole pipeline at high executor counts; BASELINE.md §Amdahl).
+        # signature in ONE job — one driver barrier per super-round.
         # Lineage still truncates to O(1) at the checkpoint.
         cur = cur.localCheckpoint(eager=False)
         sig = _signature(cur)

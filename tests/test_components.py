@@ -1,0 +1,73 @@
+"""Direct unit tests for the large-star/small-star connected components.
+
+Oracle: a driver-side union-find over the same edges. Pins that chaining
+multiple star-rounds per materialization barrier (``rounds_per_barrier``)
+never changes the fixpoint — the barrier-halving optimization is purely a
+scheduling change.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from rust_gd_spark.operators.components import connected_components
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min member id per component
+    comp: dict[int, int] = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _spark_components(spark, edges, **kw) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.component for r in connected_components(df, **kw).collect()
+    }
+
+
+EDGE_SETS = {
+    "path": [(i, i + 1) for i in range(40)],  # diameter 40 — worst case
+    "star": [(0, i) for i in range(1, 30)],
+    "two_cliques": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    + [(a, b) for a in range(100, 106) for b in range(a + 1, 106)],
+    "random": None,  # filled below
+}
+rng = random.Random(7)
+EDGE_SETS["random"] = [
+    (rng.randrange(200), rng.randrange(200)) for _ in range(300)
+]
+
+
+@pytest.mark.parametrize("name", sorted(EDGE_SETS))
+def test_components_match_union_find(spark, name):
+    edges = EDGE_SETS[name]
+    got = _spark_components(spark, edges)
+    want = _uf_components(edges)
+    # union-find includes self-loop-only nodes identically; drop self loops
+    want = {n: c for n, c in want.items() if any(a != b for a, b in edges if n in (a, b))}
+    assert got == want
+
+
+def test_rounds_per_barrier_invariant(spark):
+    edges = EDGE_SETS["random"]
+    base = _spark_components(spark, edges, rounds_per_barrier=1)
+    for k in (2, 3):
+        assert _spark_components(spark, edges, rounds_per_barrier=k) == base
