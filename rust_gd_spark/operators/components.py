@@ -21,6 +21,8 @@ loss; SURVEY.md §4.3).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -68,22 +70,31 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, rounds_per_barrier: int = 2
+    edges: DataFrame, max_iter: int = 50, rounds_per_barrier: int | None = None
 ) -> DataFrame:
     """``(node long, component long)`` for every node appearing in ``edges``;
     component = min node id of the connected component.
 
     ``rounds_per_barrier`` star-star rounds are chained LAZILY between
     materializations: a fixpoint of one round is a fixpoint of k rounds, so
-    convergence detection is unaffected — at worst the loop runs one extra
-    (already-converged, near-free) round before noticing. Each skipped
-    barrier removes a driver round-trip AND a full write+read of the edge
-    set (the checkpoint), the dominant non-scaling residue of the whole
-    pipeline at high executor counts (BASELINE.md §Amdahl).
+    convergence detection is unaffected. The trade is explicit: each
+    skipped barrier removes a driver round-trip and a checkpoint
+    write+read of the edge set, but convergence is only DETECTED at
+    super-round granularity, so up to ``rounds_per_barrier`` extra
+    star-rounds run past the fixpoint — and a converged round still
+    shuffles the full edge set (the data does not shrink), so those extra
+    rounds are NOT free. Measured (800k-component graph, local[8], warm):
+    k=2 is ~38% slower than k=1 — barriers are cheap in one JVM. k>1 pays
+    off only where the per-barrier cost (driver latency + checkpoint I/O)
+    rivals two shuffles of the edge set, i.e. high-executor-count clusters
+    with fast shuffle fabric. Default 1; override per call or via the
+    ``GD_CC_ROUNDS_PER_BARRIER`` env var (driver-side) for cluster runs.
 
     Raises RuntimeError if not converged within ``max_iter`` rounds (CC on
     n nodes needs O(log n) — 50 covers any realistic corpus).
     """
+    if rounds_per_barrier is None:
+        rounds_per_barrier = int(os.environ.get("GD_CC_ROUNDS_PER_BARRIER", "1"))
     cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = None
     for it in range(0, max_iter, rounds_per_barrier):

@@ -87,7 +87,18 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--kernel", choices=["triad", "gather"], default="triad")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="1-core triad only, 1 repeat, print the bare GB/s number — the "
+        "scaling harness's DRAM-interference gate (co-tenant bandwidth "
+        "pressure does NOT show up as steal time; a depressed 1-core triad "
+        "is the cheap observable for it — BASELINE.md 'Measurement noise')",
+    )
     args = ap.parse_args()
+    if args.quick:
+        gbs, _ = run_width(1, args.elems, max(args.iters, 10))
+        print(round(gbs, 2))
+        return
 
     desc = {
         "triad": "triad(a=b+0.5c), 40B/elem/iter, 128MiB arrays",

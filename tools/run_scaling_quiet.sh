@@ -23,6 +23,13 @@ MAX_PAIRS="${6:-3}"
 DEADLINE_MIN="${7:-150}"
 PRE_STEAL_MAX="${PRE_STEAL_MAX:-0.20}"   # %: gate to open a leg
 LEG_STEAL_MAX="${LEG_STEAL_MAX:-0.50}"   # %: accept a finished leg
+# DRAM-interference gate: co-tenant memory-bandwidth pressure does NOT
+# register as steal time (steal only counts CPU the hypervisor withheld),
+# but it depresses every leg — measured 2026-08-17: a day with 1-core
+# triad at 11.2 GB/s (vs the 13.6 quiet-day baseline) halved pipeline
+# throughput at 4 executors while steal stayed ~1%. Gate on a quick
+# 1-core triad probe alongside the steal gate.
+BW_MIN_GBS="${BW_MIN_GBS:-12.8}"
 SPARK_DIST=/opt/spark
 SCRATCH=.scratch/scaling_${N_CONV}x${TURNS}
 CL=.scratch/cluster_quiet
@@ -81,7 +88,17 @@ wait_quiet() {
   while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     s=$(steal_now)
     ok=$(python -c "print(1 if $s <= $PRE_STEAL_MAX else 0)")
-    if [ "$ok" = "1" ]; then echo "gate open (steal ${s}%)"; return 0; fi
+    if [ "$ok" = "1" ]; then
+      bw=$(taskset -c 0 python tools/bw_probe.py --quick)
+      bwok=$(python -c "print(1 if $bw >= $BW_MIN_GBS else 0)")
+      if [ "$bwok" = "1" ]; then
+        GATE_BW="$bw"
+        echo "gate open (steal ${s}%, triad ${bw} GB/s)"; return 0
+      fi
+      echo "gate closed (steal ${s}% ok, triad ${bw} < ${BW_MIN_GBS} GB/s), waiting 120s"
+      sleep 120
+      continue
+    fi
     echo "gate closed (steal ${s}%), waiting 45s"
     sleep 45
   done
@@ -152,13 +169,17 @@ while [ "$PAIRS_DONE" -lt "$MAX_PAIRS" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; d
   read -r T_S S_S <<< "$SMALL"
   ok=$(python -c "print(1 if $S_S <= $LEG_STEAL_MAX else 0)")
   [ "$ok" = "1" ] || { echo "small leg polluted (steal ${S_S}%), retrying"; continue; }
+  # mid-pair DRAM re-check: a bandwidth drop between legs invalidates the pair
+  MIDBW=$(taskset -c 0 python tools/bw_probe.py --quick)
+  midok=$(python -c "print(1 if $MIDBW >= $BW_MIN_GBS else 0)")
+  [ "$midok" = "1" ] || { echo "mid-pair triad ${MIDBW} < ${BW_MIN_GBS} GB/s, retrying pair"; continue; }
   echo "=== pair attempt: leg N=$N_BIG ==="
   BIG=$(run_leg "$N_BIG") || { echo "big leg failed"; continue; }
   read -r T_B S_B <<< "$BIG"
   ok=$(python -c "print(1 if $S_B <= $LEG_STEAL_MAX else 0)")
   [ "$ok" = "1" ] || { echo "big leg polluted (steal ${S_B}%), retrying pair"; continue; }
   E=$(python -c "print(round($T_B / (4 * $T_S), 3))")
-  echo "{\"quiet_pair\": true, \"mode\": \"cluster\", \"n_small\": $N_SMALL, \"n_big\": $N_BIG, \"t_small\": $T_S, \"t_big\": $T_B, \"steal_small\": $S_S, \"steal_big\": $S_B, \"scaling_efficiency\": $E}" >> "$LEDGER"
+  echo "{\"quiet_pair\": true, \"mode\": \"cluster\", \"n_small\": $N_SMALL, \"n_big\": $N_BIG, \"t_small\": $T_S, \"t_big\": $T_B, \"steal_small\": $S_S, \"steal_big\": $S_B, \"gate_triad_gbs\": ${GATE_BW:-null}, \"midpair_triad_gbs\": $MIDBW, \"scaling_efficiency\": $E}" >> "$LEDGER"
   echo "QUIET PAIR: T$N_SMALL=$T_S T$N_BIG=$T_B E=$E"
   PAIRS_DONE=$((PAIRS_DONE + 1))
 done
