@@ -36,6 +36,25 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Box-state fingerprint: 1-core STREAM-triad GB/s (tools/bw_probe.py).
+    # This sandbox is multi-tenant; co-tenant DRAM traffic depresses every
+    # timing below WITHOUT showing up as CPU steal (quiet-day baseline
+    # 13.6 GB/s; measured 11.2 on a degraded day with ~2x slower legs —
+    # BASELINE.md round-3 session-5). Recording it makes bench runs
+    # comparable across days.
+    triad_gbs = None
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "tools", "bw_probe.py"), "--quick"],
+            capture_output=True, text=True, timeout=120,
+        )
+        triad_gbs = float(out.stdout.strip())
+    except Exception:
+        pass
+
     from rust_gd_spark.session import get_spark
 
     spark = get_spark(app_name="rust_gd_spark_bench", cores=cpus)
@@ -163,6 +182,7 @@ def main() -> None:
                 "throughput_rows_per_sec": round(throughput, 1),
                 "total_sec": total,
                 "cpus": cpus,
+                "triad_gbs": triad_gbs,
             }
         )
     )
