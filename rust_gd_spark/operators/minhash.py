@@ -230,56 +230,95 @@ def shingle_df(
 def _oph_signatures_chunk(
     flat: np.ndarray, starts: np.ndarray, num_perm: int
 ) -> np.ndarray:
-    """Densified one-permutation MinHash signatures for one segment chunk.
+    """Fast-similarity-sketching MinHash signatures for one segment chunk.
 
-    One-permutation hashing (Li, Owen, Zhang NIPS'12) + rotation
-    densification (Shrivastava & Li ICML'14): instead of k independent
-    (a_j·h+b_j) passes — an O(m·k) matrix whose memory traffic made the
-    signature stage the measured non-scaling bottleneck of the whole
-    pipeline (BASELINE.md round-3 profile: ~80 s at 4 AND 16 executors) —
-    each shingle is rehashed ONCE (splitmix64 finalizer), routed to bucket
-    ``g mod k``, and each bucket keeps its min. Empty buckets borrow the
-    nearest filled bucket to their left (circular) at distance t, offset by
-    ``t·_OPH_OFF`` so two rows borrowing different sources never spuriously
-    match. O(m + n·k) work, ~14× less memory traffic than the k-perm
-    kernel at k=128.
+    One-permutation hashing (Li, Owen, Zhang NIPS'12) extended to the
+    multi-round *fast similarity sketching* scheme (Dahlgaard, Knudsen,
+    Thorup FOCS'17): instead of k independent (a_j·h+b_j) passes — an
+    O(m·k) matrix whose memory traffic made the signature stage the
+    measured non-scaling bottleneck of the whole pipeline (BASELINE.md
+    round-3 profile: ~80 s at 4 AND 16 executors) — round t rehashes each
+    shingle once (splitmix64 of ``shingle ^ t·C``), routes it to bucket
+    ``g mod k`` with value ``(t << 47) | g_hi``, and each bucket keeps its
+    min; a row keeps taking rounds until all k of its buckets are filled.
+    Because the round number occupies the value's high bits, rounds past a
+    bucket's first fill never change its min, so the per-row adaptive
+    stopping is exact. Expected O(m + k·log k) work per row, far below
+    k-perm's O(m·k) for the long-document rows that dominate bytes.
 
-    Estimator property: P[sig_j(A) = sig_j(B)] ≈ J(A,B) per slot (exact
-    for slots filled on both sides; the densified slots are the published
-    rotation scheme, mirrored left). The LSH banding math is unchanged and
-    the downstream exact-Jaccard verify keeps precision exact either way.
+    Estimator property: P[sig_j(A) = sig_j(B)] = J(A,B) per slot for ALL
+    set sizes — slot j's value is the globally-earliest (round, hash) pair
+    that lands on j, and by exchangeability over elements that pair lies
+    in A∩B with probability exactly J. This is the FOCS'17 fix for both
+    failure modes of single-round OPH densification on small sets: the
+    ICML'14 rotation scheme's arc-length bias (round-3 VERDICT: est 0.86
+    at true J=0.5) AND the bucket-collision information loss that even
+    optimal densification (Shrivastava ICML'17) cannot recover (two
+    shingles sharing a bucket in the only round ⇒ est ∈ {0,1}); later
+    rounds re-expose every shingle. See tests/test_property.py::
+    test_oph_estimator_tracks_jaccard. The LSH banding math is unchanged
+    and the downstream exact-Jaccard verify keeps precision exact.
 
     Rows with zero shingles are the caller's concern (``iter_segments``
-    skips them); a chunk row with ≥1 shingle always densifies fully.
+    skips them); they get deterministic sentinel-derived garbage, never a
+    hang.
     """
     assert num_perm & (num_perm - 1) == 0, "oph requires power-of-two num_perm"
     n_rows = len(starts)
     lens = np.diff(np.append(starts, len(flat)))
+    k = num_perm
+    mask_k = np.uint64(k - 1)
 
-    g = flat.astype(np.uint64) * _SM_A
-    g ^= g >> np.uint64(29)
-    g *= _SM_B
-    g ^= g >> np.uint64(32)
-    bucket = (g & np.uint64(num_perm - 1)).astype(np.int64)
-    val = g >> np.uint64(num_perm.bit_length() - 1)
+    sig = np.full(n_rows * k, _OPH_SENT, dtype=np.uint64)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    active = lens > 0
+    uflat = flat.astype(np.uint64)
 
-    row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-    sig = np.full(n_rows * num_perm, _OPH_SENT, dtype=np.uint64)
-    np.minimum.at(sig, row * num_perm + bucket, val)
-    sig = sig.reshape(n_rows, num_perm)
+    # Geometric round blocks (1, 2, 4, …, capped) bound the Python-loop
+    # iteration count at O(log rounds) while overshooting the per-row
+    # coupon-collector stopping time (~k·ln k / m rounds) by ≤ 2×; rounds
+    # past a row's fill time are no-ops on its mins. Round budget 2^14:
+    # P(a 1-shingle row unfilled) ≈ k·e^(-16384/k) ≈ 3e-54 at k=128.
+    t0 = 0
+    blk = 1
+    _MAXR = 1 << 14
+    while active.any() and t0 < _MAXR:
+        blk = min(blk, _MAXR - t0)
+        am = active[row_of]
+        sh = uflat[am]
+        rows = row_of[am]
+        t = np.arange(t0, t0 + blk, dtype=np.uint64)
+        x = sh[:, None] ^ (t[None, :] * _OPH_OFF)
+        x = (x + np.uint64(1)) * _SM_A
+        x ^= x >> np.uint64(29)
+        x *= _SM_B
+        x ^= x >> np.uint64(32)
+        keys = (rows[:, None] * k + (x & mask_k).astype(np.int64)).ravel()
+        vals = ((t[None, :] << np.uint64(47)) | (x >> np.uint64(17))).ravel()
+        # A pair hitting an already-filled key can never win (earlier round
+        # ⇒ smaller top bits), so scatter only pairs aimed at empty keys —
+        # the scatter volume across ALL blocks is then O(n_rows·k), not
+        # O(pairs): each scattered pair either fills a key or ties a
+        # within-block duplicate.
+        empty = sig[keys] == _OPH_SENT
+        if empty.any():
+            np.minimum.at(sig, keys[empty], vals[empty])
+            aidx = np.nonzero(active)[0]
+            done = (
+                (sig.reshape(n_rows, k)[aidx] != _OPH_SENT).sum(axis=1) == k
+            )
+            active[aidx[done]] = False
+        t0 += blk
+        blk = min(blk * 2, 4096)
 
-    # rotation densification: nearest filled bucket to the left (circular),
-    # via one forward maximum.accumulate — no log-k doubling passes.
-    cols = np.arange(num_perm, dtype=np.int32)
-    big = np.int32(1 << 20)
-    posl = np.where(sig != _OPH_SENT, cols, -big)
-    pref = np.maximum.accumulate(posl, axis=1)
-    last = pref[:, -1:]
-    nearest = np.where(pref != -big, pref, last - num_perm)
-    dist = (cols - nearest).astype(np.uint64)
-    src = nearest % num_perm
-    valm = np.take_along_axis(sig, src.astype(np.int64), axis=1)
-    return (valm + dist * _OPH_OFF) & _MAX_HASH
+    sig = sig.reshape(n_rows, k)
+    # zero-shingle rows (caller contract violation) or the ~e^-128 budget
+    # miss: deterministic sentinel-offset fill, never a hang or a NaN.
+    still = sig == _OPH_SENT
+    if still.any():
+        cols = np.arange(k, dtype=np.uint64)[None, :]
+        sig = np.where(still, (_OPH_SENT - np.uint64(1)) ^ (cols * _OPH_OFF), sig)
+    return sig & _MAX_HASH
 
 
 def minhash_signatures(
