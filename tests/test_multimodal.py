@@ -24,9 +24,88 @@ def test_schema_and_kinds(assets):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_decode_real_is_marked_stub():
+def test_decode_real_unsupported_formats_raise():
+    """Non-PNG images / non-WAV audio / video still raise with a clear
+    message (no PIL/ffmpeg in this sandbox)."""
     with pytest.raises(NotImplementedError):
-        mm.decode_real(b"xx", "image")
+        mm.decode_real(b"\xff\xd8\xff\xe0jpeg-ish", "image")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"not riff", "audio")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"\x00\x00\x00 ftypmp42", "video")
+    with pytest.raises(ValueError):
+        mm._png_decode(b"definitely not a png")
+
+
+def test_png_roundtrip_all_shapes():
+    """encode_png -> decode_real is the identity for every supported
+    colour type (gray, gray+alpha, RGB, RGBA), including non-square."""
+    rng = np.random.default_rng(3)
+    for shape in [(11, 7), (5, 9, 2), (16, 16, 3), (8, 3, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = mm.decode_real(mm.encode_png(arr), "image")
+        assert out.shape == arr.shape and out.dtype == np.uint8
+        assert np.array_equal(out, arr), shape
+
+
+def test_png_decode_all_filter_types():
+    """Spec coverage beyond our encoder: hand-build a PNG whose rows use
+    filters 0..4 and check against an independent reference unfilter."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(5)
+    h, w, ch = 5, 6, 3
+    img = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    # reference-filter each row y with filter type y (0..4), per RFC 2083
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = img[y].astype(np.int64)
+        f = y % 5
+        line = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        lines.append(np.concatenate([[f], line]).astype(np.uint8))
+        prev = cur
+    raw = zlib.compress(np.concatenate(lines).tobytes())
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    png = (mm._PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    out = mm.decode_real(png, "image")
+    assert np.array_equal(out, img.reshape(h, w, ch))
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-(1 << 15), 1 << 15, size=(160, 1)).astype(np.int16)
+    stereo = rng.integers(0, 256, size=(80, 2), dtype=np.uint8)
+    for arr, rate in [(mono, 16000), (stereo, 8000)]:
+        payload = mm.encode_wav(arr, rate)
+        out = mm.decode_real(payload, "audio")
+        assert np.array_equal(out, arr)
+        dec, got_rate = mm._wav_decode(payload)
+        assert got_rate == rate and np.array_equal(dec, arr)
 
 
 def test_decode_fake_shape_and_determinism():
