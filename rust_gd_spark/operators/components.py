@@ -95,10 +95,17 @@ def connected_components(
     """
     if rounds_per_barrier is None:
         rounds_per_barrier = int(os.environ.get("GD_CC_ROUNDS_PER_BARRIER", "1"))
+    if rounds_per_barrier < 1:
+        # env-var sourced: a config typo must not surface as a cryptic
+        # range() error or a bogus "no fixpoint" RuntimeError
+        raise ValueError(
+            f"rounds_per_barrier must be >= 1, got {rounds_per_barrier}"
+        )
     cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = None
     for it in range(0, max_iter, rounds_per_barrier):
-        for _ in range(rounds_per_barrier):
+        # clamp the final super-round so exactly max_iter star-rounds run
+        for _ in range(min(rounds_per_barrier, max_iter - it)):
             cur = _canon(_small_star(_large_star(cur)))
         # LAZY localCheckpoint: the signature action right below both
         # materializes the checkpoint and computes the convergence

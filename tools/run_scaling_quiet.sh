@@ -178,16 +178,24 @@ while [ "$PAIRS_DONE" -lt "$MAX_PAIRS" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; d
   read -r T_B S_B <<< "$BIG"
   ok=$(python -c "print(1 if $S_B <= $LEG_STEAL_MAX else 0)")
   [ "$ok" = "1" ] || { echo "big leg polluted (steal ${S_B}%), retrying pair"; continue; }
-  E=$(python -c "print(round($T_B / (4 * $T_S), 3))")
+  E=$(python -c "print(round($T_B / (($N_BIG / $N_SMALL) * $T_S), 3))")
   # Same-minute DRAM ceiling at both widths: a pure-streaming job's own
   # N->4N efficiency on this box RIGHT NOW. E/Eceil divides out the
   # one-box memory-system sharing a real multi-node cluster doesn't have
   # (each node brings its own DRAM) — measured at pair time, not quoted
   # from a different day.
   read -r BW_S BW_B <<< "$(python tools/bw_probe.py --widths "$N_SMALL,$N_BIG" --repeats 2 2>/dev/null \
-    | python -c 'import json,sys; rows=[json.loads(l) for l in sys.stdin]; print(rows[0]["value"], rows[1]["value"])')"
-  ECEIL=$(python -c "print(round($BW_B / (($N_BIG / $N_SMALL) * $BW_S), 3))")
-  ENORM=$(python -c "print(round($E / max($ECEIL, 1e-9), 3))")
+    | python -c 'import json,sys; rows=[json.loads(l) for l in sys.stdin]; print(rows[0]["value"], rows[1]["value"])')" || true
+  # A failed ceiling probe must not interpolate empty strings into the
+  # ledger (malformed JSON breaks every downstream json.loads): validate
+  # numerics, else record the pair with null ceiling fields.
+  if python -c "float('${BW_S:-x}'); float('${BW_B:-x}')" 2>/dev/null; then
+    ECEIL=$(python -c "print(round($BW_B / (($N_BIG / $N_SMALL) * $BW_S), 3))")
+    ENORM=$(python -c "print(round($E / max($ECEIL, 1e-9), 3))")
+  else
+    echo "WARNING: ceiling bw_probe failed; recording pair with null ceiling fields"
+    BW_S=null; BW_B=null; ECEIL=null; ENORM=null
+  fi
   echo "{\"quiet_pair\": true, \"mode\": \"cluster\", \"n_small\": $N_SMALL, \"n_big\": $N_BIG, \"t_small\": $T_S, \"t_big\": $T_B, \"steal_small\": $S_S, \"steal_big\": $S_B, \"gate_triad_gbs\": ${GATE_BW:-null}, \"midpair_triad_gbs\": $MIDBW, \"scaling_efficiency\": $E, \"triad_gbs_small\": $BW_S, \"triad_gbs_big\": $BW_B, \"dram_ceiling_efficiency\": $ECEIL, \"ceiling_normalized_efficiency\": $ENORM}" >> "$LEDGER"
   echo "QUIET PAIR: T$N_SMALL=$T_S T$N_BIG=$T_B E=$E Eceil=$ECEIL Enorm=$ENORM"
   PAIRS_DONE=$((PAIRS_DONE + 1))
