@@ -40,10 +40,13 @@ class DedupConfig:
     # * "kperm" — num_perm independent (a·h+b) permutations, the textbook
     #   family; O(m·num_perm) memory traffic per doc, measured as the
     #   pipeline's bandwidth-bound non-scaling stage (BASELINE.md r3).
-    # * "oph"   — densified one-permutation hashing (Li'12 / Shrivastava-
-    #   Li'14): one rehash per shingle + bucket-min + rotation
-    #   densification, O(m + num_perm) — ~14× less traffic, same banding
-    #   semantics, verify still exact. The extreme-scale kernel.
+    # * "oph"   — one-permutation hashing (Li'12) via fast similarity
+    #   sketching (Dahlgaard-Knudsen-Thorup FOCS'17): multi-round
+    #   rehash + bucket-min until every slot fills, O(m + k·log k) —
+    #   far less traffic than k-perm on long docs, per-slot collision
+    #   probability exactly J at EVERY set size (short turns included),
+    #   same banding semantics, verify still exact. The extreme-scale
+    #   kernel.
     minhash_scheme: str = "kperm"
     jaccard_threshold: float = 0.7
     char_k: int = 8                  # char-gram width (SimHash path)

@@ -173,3 +173,27 @@ def test_rotation_pairs_end_to_end_near_char(spark, transcripts_df):
     assert not missed, missed
     direct = len(band_set & rot_set) / len(band_set)
     assert direct >= 0.9, direct
+
+
+def test_planted_d5_found_by_rotations_missed_by_banding(spark):
+    """The regime the rotation mode EXISTS for (round-3 VERDICT #5): a
+    pair at Hamming distance 5 whose differing bits touch ALL four 16-bit
+    bands is invisible to fixed 4-band banding (no shared band ⇒ no
+    candidate) but guaranteed by the rotation scheme (d=5 < 64/prefix_bits
+    ⇒ co-buckets in ≥ 3 of 8 tables)."""
+    fp_a = 0x0123456789ABCDEF
+    diff = 0x0003_0001_0001_0001  # bits 0, 16, 32, 48, 49 — one+ per band
+    fp_b = fp_a ^ diff
+    assert bin(diff).count("1") == 5
+    df = spark.createDataFrame(
+        # filler at distance 64/59 from a/b (bitwise complement of a)
+        [("a", fp_a), ("b", fp_b), ("z", ~fp_a)],
+        "id string, fp long",
+    )
+    rot_cand, _ = sh.simhash_rotation_candidate_pairs(df)
+    rot = sh.verify_hamming(rot_cand, max_dist=6)
+    assert {(r.id_l, r.id_r, r.hamming_dist) for r in rot.collect()} == {
+        ("a", "b", 5)
+    }
+    band_cand, _ = sh.simhash_candidate_pairs(sh.simhash_bands(df, bands=4))
+    assert sh.verify_hamming(band_cand, max_dist=6).count() == 0

@@ -200,3 +200,59 @@ def test_streaming_file_source_end_to_end(spark, turn_batches, tmp_path):
     inc = st.compact_clusters(spark, state)
     assert inc.count() == total
     assert inc.select("id").distinct().count() == total
+
+
+def test_compact_age_bound_between_incremental_batches(spark, turn_batches, tmp_path):
+    """The `_q_incremental_clusters` flow with an age-bounded compaction
+    BETWEEN micro-batches (round-3 VERDICT next-round #7): an age horizon
+    spanning every live epoch is semantics-free (clusters equal the
+    uncompacted run), while an evicting horizon drops the aged epoch's
+    state, so a text whose only duplicate lives in that epoch re-enters
+    as a NEW canonical — the documented eviction cost. (Note: between the
+    FIRST two batches no age value can evict — horizon = current−k ≤ 0 —
+    so the evicting case needs a third probe batch.)"""
+    dfs = [
+        with_turn_uid(
+            spark.createDataFrame(p[["conv_id", "turn_idx", "text"]])
+        ).select("uid", "text")
+        for p in turn_batches[:2]
+    ]
+    uids = [{r.uid for r in d.select("uid").collect()} for d in dfs]
+
+    ref_state = str(tmp_path / "ref")
+    for d in dfs:
+        st.process_batch(d, ref_state, threshold=0.7)
+    ref = _clusters_as_partition(st.compact_clusters(spark, ref_state))
+    assert [c for c in ref if (c & uids[0]) and (c & uids[1])], (
+        "fixture must have dups straddling the batch boundary"
+    )
+
+    # spanning horizon: compaction between batches changes nothing
+    span_state = str(tmp_path / "span")
+    st.process_batch(dfs[0], span_state, threshold=0.7)
+    st.compact_state(spark, span_state, max_epoch_age=1, partitions=2)
+    st.process_batch(dfs[1], span_state, threshold=0.7)
+    assert _clusters_as_partition(st.compact_clusters(spark, span_state)) == ref
+
+    # evicting horizon: a probe batch re-sends a text whose cluster lives
+    # ENTIRELY in epoch 0; with epoch 0 evicted it becomes its own
+    # canonical, where the uncompacted reference absorbs it.
+    texts0 = {r.uid: r.text for r in dfs[0].collect()}
+    batch0_only = next(c for c in ref if c <= uids[0])
+    probe_text = texts0[next(iter(batch0_only))]
+    probe = spark.createDataFrame([("probe:0", probe_text)], "uid string, text string")
+
+    st.process_batch(probe, ref_state, threshold=0.7)
+    ref3 = _clusters_as_partition(st.compact_clusters(spark, ref_state))
+    assert any("probe:0" in c and (c & batch0_only) for c in ref3)
+
+    evict_state = str(tmp_path / "evict")
+    st.process_batch(dfs[0], evict_state, threshold=0.7)
+    st.process_batch(dfs[1], evict_state, threshold=0.7)
+    # current epoch = 1 -> horizon 1 evicts epoch 0 (dfs[0]'s state)
+    st.compact_state(spark, evict_state, max_epoch_age=0, partitions=2)
+    st.process_batch(probe, evict_state, threshold=0.7)
+    got = _clusters_as_partition(st.compact_clusters(spark, evict_state))
+    assert frozenset({"probe:0"}) in got  # re-entered as its own canonical
+    # batch-0 assignments are results, not state: they survive eviction
+    assert {u for c in got for u in c} == uids[0] | uids[1] | {"probe:0"}
