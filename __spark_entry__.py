@@ -178,6 +178,82 @@ def _q_quality_lang(spark, sf_dir):
     )
 
 
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrub pass: typed span counts + redacted text, all JVM
+    ``regexp_*`` codegen over the scan — zero shuffles, the trivially
+    100 TB-parallel shape. Oracle runs the SAME pattern constants
+    through the `functions/pii.py` SQL templates."""
+    from rust_gd_spark.functions import pii
+
+    return pii.pii_columns(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# mixture spec for the stratified-sampling driver query: strata are
+# doc_id % 3 (a deterministic stand-in for a source/quality bucket)
+_MIX_FRACTIONS = {"0": 0.9, "1": 0.25, "2": 0.05}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus mixing: per-stratum md5-threshold sampling
+    (`operators/sampling.py`) — partition-invariant, monotone in the
+    fraction, one codegen predicate over the scan. df.sample() cannot be
+    oracle-checked (per-partition seeding); this can, bit-for-bit."""
+    from rust_gd_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).withColumn(
+        "src", (F.col("doc_id") % 3).cast("string")
+    )
+    return stratified_sample(
+        d, "doc_id", "src", _MIX_FRACTIONS, default_fraction=0.0
+    ).select("doc_id", "src")
+
+
+def _q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition gates (Rae et al. 2021):
+    duplicate-line fractions + top-2-gram character coverage, joined on
+    doc id. Two partial-agg shuffle pairs + one per-doc window — all
+    relational, no Python."""
+    from rust_gd_spark.operators.repetition import (
+        dup_line_stats,
+        top_bigram_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    lines = dup_line_stats(d, "doc_id", "text")
+    grams = top_bigram_stats(d, "doc_id", "text")
+    return lines.join(grams, "id", "full").select(
+        "id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "n_tokens",
+        "top_bigram_count",
+        "top_bigram_char_frac",
+    )
+
+
+PACK_CAPACITY = 2048
+PACK_SHARDS = 8
+
+
+def _q_sequence_packing(spark, sf_dir):
+    """Context-window packing plan: greedy next-fit of documents into
+    `PACK_CAPACITY`-token sequences, sharded by doc_id % PACK_SHARDS
+    (`operators/packing.py`). One shuffle + an Arrow-batched per-shard
+    kernel whose Python loop is O(#sequences) searchsorted steps; the
+    DuckDB oracle replays the same discipline as a linear recursive
+    CTE."""
+    from rust_gd_spark.functions.textstats import token_count
+    from rust_gd_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tok", capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+
+
 def _q_dedup_metrics(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.agg(
@@ -604,6 +680,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngrams": _q_decontam,
         "doc_text_stats": _q_text_stats,
         "doc_quality_lang": _q_quality_lang,
+        "pii_redaction": _q_pii_redaction,
+        "stratified_sample": _q_stratified_sample,
+        "doc_repetition": _q_doc_repetition,
+        "sequence_packing": _q_sequence_packing,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
         "embedding_topk_blocked": _q_embedding_topk_blocked,
@@ -930,6 +1010,62 @@ qualify rank <= {TOPK}
 """
 
 
+def _pii_oracle_sql() -> str:
+    from rust_gd_spark.functions import pii
+
+    cnts = ", ".join(
+        f"{pii.pii_count_sql('text', k)} as n_{k}" for k, _, _ in pii.PII_PATTERNS
+    )
+    tot = " + ".join(f"n_{k}" for k, _, _ in pii.PII_PATTERNS)
+    return f"""
+        select id, n_email, n_ssn, n_ipv4, n_phone, {tot} as n_pii,
+               redacted_text
+        from (
+          select doc_id as id, {cnts},
+                 {pii.redact_pii_sql('text')} as redacted_text
+          from documents
+        )
+    """
+
+
+def _stratified_oracle_sql() -> str:
+    from rust_gd_spark.operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql(
+        "doc_id", "(doc_id % 3)", _MIX_FRACTIONS, default_fraction=0.0
+    )
+    return f"""
+        select doc_id, (doc_id % 3)::varchar as src
+        from documents where {pred}
+    """
+
+
+def _doc_repetition_oracle_sql() -> str:
+    from rust_gd_spark.operators.repetition import (
+        dup_line_stats_sql,
+        top_bigram_stats_sql,
+    )
+
+    return f"""
+        with lines as ({dup_line_stats_sql('documents', 'doc_id', 'text')}),
+        grams as ({top_bigram_stats_sql('documents', 'doc_id', 'text')})
+        select coalesce(l.id, g.id) as id,
+               l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+               g.n_tokens, g.top_bigram_count, g.top_bigram_char_frac
+        from lines l full join grams g on l.id = g.id
+    """
+
+
+def _sequence_packing_oracle_sql() -> str:
+    from rust_gd_spark.functions.textstats import token_count_sql
+    from rust_gd_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql(
+        "documents", "doc_id", token_count_sql("text"),
+        PACK_CAPACITY, PACK_SHARDS,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup": """
@@ -979,6 +1115,10 @@ def oracle_sql() -> dict[str, str]:
                    {ts.doc_fingerprint_sql('text')} as fingerprint
             from documents
         """,
+        "pii_redaction": _pii_oracle_sql(),
+        "stratified_sample": _stratified_oracle_sql(),
+        "doc_repetition": _doc_repetition_oracle_sql(),
+        "sequence_packing": _sequence_packing_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,
                    count(distinct md5(text)) as n_distinct,

@@ -140,6 +140,12 @@ def main() -> None:
           lambda: _force(q["training_data_prep"](spark, sf_dir)))
     timed("embedding_dedup_clusters",
           lambda: _force(q["embedding_dedup_clusters"](spark, sf_dir)))
+    timed("pii_redaction", lambda: _force(q["pii_redaction"](spark, sf_dir)))
+    timed("stratified_sample",
+          lambda: _force(q["stratified_sample"](spark, sf_dir)))
+    timed("doc_repetition", lambda: _force(q["doc_repetition"](spark, sf_dir)))
+    timed("sequence_packing",
+          lambda: _force(q["sequence_packing"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))
