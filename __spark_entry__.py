@@ -232,6 +232,37 @@ def _q_doc_repetition(spark, sf_dir):
     )
 
 
+# planted boilerplate for the corpus-level line-removal query: the
+# synthetic documents are single-line and line-unique across docs
+# (measured at sf0.01), so the query appends deterministic footers to
+# fixed doc_id strata — the SAME expression in Spark and in the oracle
+# SQL — so removal, blank-line preservation, and reassembly are all
+# actually exercised.
+_BP_FOOTER1 = "Subscribe to our newsletter today!"
+_BP_FOOTER2 = "All rights reserved."
+
+
+def _q_boilerplate_lines(spark, sf_dir):
+    """Corpus-level boilerplate line removal (CCNet 4.1 / RefinedWeb
+    line-dedup, `operators/boilerplate.py`): drop lines recurring in
+    >= 2 distinct documents, reassemble survivors in order. Three
+    minimal shuffles (partial-agg line counts, AQE-decided common-line
+    join, per-doc reassembly), all codegen."""
+    from rust_gd_spark.operators.boilerplate import boilerplate_lines
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _BP_FOOTER1))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n\n" + _BP_FOOTER2))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return boilerplate_lines(d, "doc_id", "text", min_docs=2)
+
+
 PACK_CAPACITY = 2048
 PACK_SHARDS = 8
 
@@ -683,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "stratified_sample": _q_stratified_sample,
         "doc_repetition": _q_doc_repetition,
+        "boilerplate_lines": _q_boilerplate_lines,
         "sequence_packing": _q_sequence_packing,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
@@ -1028,6 +1060,22 @@ def _pii_oracle_sql() -> str:
     """
 
 
+def _boilerplate_oracle_sql() -> str:
+    from rust_gd_spark.operators.boilerplate import boilerplate_lines_sql
+
+    planted = f"""(
+        select doc_id,
+               text
+               || case when doc_id % 5 = 0
+                       then chr(10) || '{_BP_FOOTER1}' else '' end
+               || case when doc_id % 7 = 0
+                       then chr(10) || chr(10) || '{_BP_FOOTER2}' else '' end
+                 as text
+        from documents
+    )"""
+    return boilerplate_lines_sql(planted, "doc_id", "text", min_docs=2)
+
+
 def _stratified_oracle_sql() -> str:
     from rust_gd_spark.operators.sampling import stratified_sample_sql
 
@@ -1118,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _pii_oracle_sql(),
         "stratified_sample": _stratified_oracle_sql(),
         "doc_repetition": _doc_repetition_oracle_sql(),
+        "boilerplate_lines": _boilerplate_oracle_sql(),
         "sequence_packing": _sequence_packing_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,

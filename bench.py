@@ -144,6 +144,8 @@ def main() -> None:
     timed("stratified_sample",
           lambda: _force(q["stratified_sample"](spark, sf_dir)))
     timed("doc_repetition", lambda: _force(q["doc_repetition"](spark, sf_dir)))
+    timed("boilerplate_lines",
+          lambda: _force(q["boilerplate_lines"](spark, sf_dir)))
     timed("sequence_packing",
           lambda: _force(q["sequence_packing"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
