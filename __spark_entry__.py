@@ -263,6 +263,28 @@ def _q_boilerplate_lines(spark, sf_dir):
     return boilerplate_lines(d, "doc_id", "text", min_docs=2)
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4-style heuristic line filtering (Raffel et al. 2020 Sec. 2.2,
+    `functions/c4.py`): terminal-punctuation + min-word line rules, bad
+    -marker veto (lorem ipsum / { / javascript), per-doc keep decision.
+    Zero shuffles — pure codegen over the scan. The synthetic corpus is
+    unpunctuated word-salad, so the query plants a terminal period on
+    doc_id%3 strata and a 'lorem ipsum.' suffix on doc_id%11 strata
+    (same expression in the oracle SQL) so every rule actually fires;
+    single-line corpus -> min_kept_lines=1."""
+    from rust_gd_spark.functions.c4 import c4_line_filter
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" lorem ipsum."))
+        )
+        .when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(".")))
+        .otherwise(F.col("text")),
+    )
+    return c4_line_filter(d, "doc_id", "text", min_words=5, min_kept_lines=1)
+
+
 PACK_CAPACITY = 2048
 PACK_SHARDS = 8
 
@@ -715,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "doc_repetition": _q_doc_repetition,
         "boilerplate_lines": _q_boilerplate_lines,
+        "c4_clean": _q_c4_clean,
         "sequence_packing": _q_sequence_packing,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
@@ -1076,6 +1099,21 @@ def _boilerplate_oracle_sql() -> str:
     return boilerplate_lines_sql(planted, "doc_id", "text", min_docs=2)
 
 
+def _c4_oracle_sql() -> str:
+    from rust_gd_spark.functions.c4 import c4_line_filter_sql
+
+    planted = """(
+        select doc_id,
+               case when doc_id % 11 = 0 then text || ' lorem ipsum.'
+                    when doc_id % 3 = 0 then text || '.'
+                    else text end as text
+        from documents
+    )"""
+    return c4_line_filter_sql(
+        planted, "doc_id", "text", min_words=5, min_kept_lines=1
+    )
+
+
 def _stratified_oracle_sql() -> str:
     from rust_gd_spark.operators.sampling import stratified_sample_sql
 
@@ -1167,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_oracle_sql(),
         "doc_repetition": _doc_repetition_oracle_sql(),
         "boilerplate_lines": _boilerplate_oracle_sql(),
+        "c4_clean": _c4_oracle_sql(),
         "sequence_packing": _sequence_packing_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,

@@ -146,6 +146,7 @@ def main() -> None:
     timed("doc_repetition", lambda: _force(q["doc_repetition"](spark, sf_dir)))
     timed("boilerplate_lines",
           lambda: _force(q["boilerplate_lines"](spark, sf_dir)))
+    timed("c4_clean", lambda: _force(q["c4_clean"](spark, sf_dir)))
     timed("sequence_packing",
           lambda: _force(q["sequence_packing"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
