@@ -192,6 +192,25 @@ def _q_pii_redaction(spark, sf_dir):
 # doc_id % 3 (a deterministic stand-in for a source/quality bucket)
 _MIX_FRACTIONS = {"0": 0.9, "1": 0.25, "2": 0.05}
 
+# mixture-planner driver query: target shares over the documents table's
+# real source strata, sized in characters against a fixed budget. The
+# unlisted 16 sources plan to fraction 0 — the down-weight-to-zero case.
+_PLAN_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_PLAN_BUDGET = 10_000
+
+
+def _q_mixture_plan(spark, sf_dir):
+    """Corpus-mixing planner (`operators/sampling.py: mixture_plan`,
+    Pile/DoReMi-style static mixture): per-stratum actual size, target
+    size = weight*budget, keep fraction = min(1, target/actual) at 6 dp.
+    One partial-agg shuffle of #strata rows; the output feeds
+    `stratified_sample` (already a driver query) unchanged."""
+    from rust_gd_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir), "source", _PLAN_WEIGHTS, _PLAN_BUDGET, "n_chars"
+    )
+
 
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic corpus mixing: per-stratum md5-threshold sampling
@@ -735,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_lang": _q_quality_lang,
         "pii_redaction": _q_pii_redaction,
         "stratified_sample": _q_stratified_sample,
+        "mixture_plan": _q_mixture_plan,
         "doc_repetition": _q_doc_repetition,
         "boilerplate_lines": _q_boilerplate_lines,
         "c4_clean": _q_c4_clean,
@@ -1126,6 +1146,14 @@ def _stratified_oracle_sql() -> str:
     """
 
 
+def _mixture_plan_oracle_sql() -> str:
+    from rust_gd_spark.operators.sampling import mixture_plan_sql
+
+    return mixture_plan_sql(
+        "documents", "source", _PLAN_WEIGHTS, _PLAN_BUDGET, "n_chars"
+    )
+
+
 def _doc_repetition_oracle_sql() -> str:
     from rust_gd_spark.operators.repetition import (
         dup_line_stats_sql,
@@ -1203,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redaction": _pii_oracle_sql(),
         "stratified_sample": _stratified_oracle_sql(),
+        "mixture_plan": _mixture_plan_oracle_sql(),
         "doc_repetition": _doc_repetition_oracle_sql(),
         "boilerplate_lines": _boilerplate_oracle_sql(),
         "c4_clean": _c4_oracle_sql(),

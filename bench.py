@@ -143,6 +143,7 @@ def main() -> None:
     timed("pii_redaction", lambda: _force(q["pii_redaction"](spark, sf_dir)))
     timed("stratified_sample",
           lambda: _force(q["stratified_sample"](spark, sf_dir)))
+    timed("mixture_plan", lambda: _force(q["mixture_plan"](spark, sf_dir)))
     timed("doc_repetition", lambda: _force(q["doc_repetition"](spark, sf_dir)))
     timed("boilerplate_lines",
           lambda: _force(q["boilerplate_lines"](spark, sf_dir)))

@@ -89,6 +89,82 @@ def stratified_sample(
     return df.filter(_digest(F.col(key_col), seed) < thr)
 
 
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    budget: int,
+    size_col: str,
+) -> DataFrame:
+    """Plan a target corpus mixture: ``(stratum, actual_size,
+    target_size, fraction)`` — the data-mixing planner (Pile/DoReMi-style
+    static mixtures).
+
+    ``weights`` maps stratum value → share of ``budget`` (caller
+    normalizes; unlisted strata get weight 0); ``fraction`` =
+    ``round(min(1, weight*budget/actual_size), 6)`` — capped at 1
+    (down-sampling only; upsampling is an epoch/repeat decision, not a
+    row filter). Feed the result straight into ``stratified_sample``:
+    the plan is one tiny aggregate (#strata rows), collected driver-side
+    exactly as a 100 TB job would, and the applied filter inherits every
+    determinism property above.
+
+    Rounding to 6 dp makes the fraction engine-portable (the repo-wide
+    oracle doctrine: both engines compute the same double to 6 dp); the
+    SQL twin builds the identical CASE decision tree.
+    """
+    per = df.groupBy(F.col(strata_col).cast("string").alias("stratum")).agg(
+        F.sum(F.col(size_col)).alias("actual_size"),
+    )
+    w = F.lit(0.0)
+    for value, weight in sorted(weights.items(), reverse=True):
+        w = F.when(
+            F.col("stratum") == F.lit(str(value)), F.lit(float(weight))
+        ).otherwise(w)
+    target = w * F.lit(float(budget))
+    return per.select(
+        "stratum",
+        "actual_size",
+        F.round(target).cast("long").alias("target_size"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                target / F.greatest(F.col("actual_size"), F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("fraction"),
+    )
+
+
+def mixture_plan_sql(
+    table: str,
+    strata_expr: str,
+    weights: dict[str, float],
+    budget: int,
+    size_expr: str,
+) -> str:
+    """DuckDB twin of ``mixture_plan`` — same CASE tree, same rounding."""
+    arms = " ".join(
+        f"when stratum = '{v}' then {float(w)!r}"
+        for v, w in sorted(weights.items())
+    )
+    w = f"(case {arms} else 0.0 end)"
+    return f"""
+        select stratum, actual_size,
+               cast(round({w} * {budget}) as bigint) as target_size,
+               round(least(1.0, {w} * {budget}
+                     / greatest(actual_size, 1)::double), 6) as fraction
+        from (
+          -- ::bigint: DuckDB sum() yields HUGEINT (float64 in pandas),
+          -- which would break value-hash parity with Spark's long
+          select {strata_expr}::varchar as stratum,
+                 cast(sum({size_expr}) as bigint) as actual_size
+          from {table}
+          group by 1
+        )
+    """
+
+
 def stratified_sample_sql(
     key_expr: str,
     strata_expr: str,

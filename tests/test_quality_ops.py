@@ -126,6 +126,44 @@ def test_stratified_sample_parity(spark):
             "doc_id")
 
 
+def test_mixture_plan_values_and_parity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "src": [f"s{i % 3}" for i in range(300)],
+            "n_tok": [10 + (i % 7) for i in range(300)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    weights = {"s0": 0.6, "s1": 0.4}  # s2 unlisted -> fraction 0
+    out = sampling.mixture_plan(df, "src", weights, 2000, "n_tok")
+    rows = {r.stratum: r for r in out.collect()}
+    actual = pdf.groupby("src").n_tok.sum().to_dict()
+    assert rows["s0"].actual_size == actual["s0"]
+    assert rows["s0"].target_size == 1200
+    assert rows["s0"].fraction == round(
+        min(1.0, 1200 / actual["s0"]), 6
+    )
+    assert rows["s2"].target_size == 0 and rows["s2"].fraction == 0.0
+    # over-budget stratum caps at 1 (down-sampling only)
+    cap = sampling.mixture_plan(df, "src", {"s0": 1.0}, 10**6, "n_tok")
+    assert {r.stratum: r.fraction for r in cap.collect()}["s0"] == 1.0
+    # plan feeds the sampling primitive: kept sizes land near target
+    fr = {s: r.fraction for s, r in rows.items()}
+    kept = sampling.stratified_sample(df, "doc_id", "src", fr)
+    kept_tok = (
+        kept.groupBy("src").agg(F.sum("n_tok").alias("t")).collect()
+    )
+    for r in kept_tok:
+        assert abs(r.t - rows[r.src].target_size) < 0.25 * actual[r.src]
+    _parity(
+        out,
+        sampling.mixture_plan_sql("docs", "src", weights, 2000, "n_tok"),
+        {"docs": pdf},
+        "stratum",
+    )
+
+
 # --------------------------------------------------------- repetition
 
 
