@@ -72,6 +72,13 @@ def read_binary_blocks(
     files = reader.load(path).select("path", "length", "content")
 
     def split(batches):
+        # The per-row loop is per-FILE (each row is a whole file), so the
+        # Python iteration count is bounded by file count, not bytes. The
+        # memory bound is the Arrow INPUT batch: it holds
+        # `spark.sql.execution.arrow.maxRecordsPerBatch` whole-file blobs
+        # at once (default 10k) — for multi-GB files set that conf to a
+        # single-digit value so a batch never concatenates more content
+        # than one task's memory. Output frames are one file each.
         for pdf in batches:
             for _, row in pdf.iterrows():
                 buf = bytes(row["content"] or b"")
