@@ -156,6 +156,60 @@ def _q_decontam(spark, sf_dir):
     )
 
 
+def _q_decontam_fuzzy(spark, sf_dir):
+    """Fuzzy decontamination (`decontam.minhash_decontam`): whole-document
+    shingle-Jaccard vs the same deterministic 5% benchmark slice, MinHash/
+    LSH candidate generation + exact verify. The DuckDB oracle computes
+    the exact cross-table Jaccard; the equality is sound for the same
+    fixture-margin reason as `minhash_lsh_pairs` (every qualifying pair
+    at sf0.01 sits at J >= 0.875 or J = 1, so a 32x4-band miss is
+    astronomically unlikely), and the per-document rollup is exact set
+    arithmetic on both sides."""
+    from rust_gd_spark.operators.decontam import minhash_decontam
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 20 == 0).select("text")
+    out, _audit = minhash_decontam(
+        docs, ref, "doc_id", "text",
+        w=SHINGLE_W, threshold=JACCARD_T,
+    )
+    return out
+
+
+def _q_ngram_topk(spark, sf_dir):
+    """Corpus n-gram audit (`operators/ngrams.py`): top-50 word bigrams
+    by document frequency, ties broken by gram ascending — a total
+    order, so the selected set matches the oracle's LIMIT exactly.
+    Distinct-per-doc → partial-agg count → TakeOrderedAndProject."""
+    from rust_gd_spark.operators.ngrams import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), "doc_id", "text", w=2, k=50)
+
+
+def _q_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup (`operators/softdedup.py`): per-document sampling
+    weight = 1/|near-dup cluster| over the same oracle-shaped pipeline
+    config as `transcript_clusters` — keep everything, downweight
+    duplicates so each cluster contributes one document of expected
+    mass. One narrow agg+join past the clustering."""
+    from rust_gd_spark.operators.softdedup import soft_dedup_weights
+    from rust_gd_spark.pipeline import (
+        DedupConfig, canonical_clusters, near_dup_pipeline, with_turn_uid,
+    )
+
+    tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir))
+    res = near_dup_pipeline(
+        tr, "uid", "text",
+        DedupConfig(
+            jaccard_threshold=0.5, min_substring_len=120,
+            enable_simhash=False, neighbor_window=None,
+        ),
+    )
+    return soft_dedup_weights(
+        canonical_clusters(res.clusters), "id", "cluster_id"
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -750,6 +804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "decontam_ngrams": _q_decontam,
+        "decontam_fuzzy": _q_decontam_fuzzy,
+        "ngram_topk": _q_ngram_topk,
+        "soft_dedup_weights": _q_soft_dedup_weights,
         "doc_text_stats": _q_text_stats,
         "doc_quality_lang": _q_quality_lang,
         "pii_redaction": _q_pii_redaction,
@@ -796,12 +853,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
-_SHINGLES = (
-    f"case when len({_TOKS}) >= {SHINGLE_W} then "
-    f"list_transform(range(0, len({_TOKS}) - {SHINGLE_W} + 1), "
-    f"i -> array_to_string(list_slice({_TOKS}, i + 1, i + {SHINGLE_W}), ' ')) "
-    f"else [coalesce(array_to_string({_TOKS}, ' '), '')] end"
-)
+def _shingles_sql(w: int) -> str:
+    """DuckDB expression for the word ``w``-gram list of ``text`` —
+    byte-identical semantics to ``minhash.shingle_df`` / ``ngrams
+    .gram_strings`` (normalize, w-grams, whole-text fallback)."""
+    return (
+        f"case when len({_TOKS}) >= {w} then "
+        f"list_transform(range(0, len({_TOKS}) - {w} + 1), "
+        f"i -> array_to_string(list_slice({_TOKS}, i + 1, i + {w}), ' ')) "
+        f"else [coalesce(array_to_string({_TOKS}, ' '), '')] end"
+    )
+
+
+_SHINGLES = _shingles_sql(SHINGLE_W)
 
 _JACCARD_SQL = f"""
 with sh as (
@@ -1212,6 +1276,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.c, 0)::double / greatest(s.n, 1) >= 0.5
                      as is_contaminated
             from sizes s left join hits h using (doc_id)
+        """,
+        "decontam_fuzzy": f"""
+            with sh as (
+              select doc_id, unnest({_SHINGLES}) as s from documents
+            ),
+            d as (select distinct doc_id, s from sh),
+            sizes as (select doc_id, count(*) as n from d group by doc_id),
+            refd as (select * from d where doc_id % 20 = 0),
+            refsizes as (
+              select doc_id, n from sizes where doc_id % 20 = 0
+            ),
+            common as (
+              select l.doc_id as id, r.doc_id as rid, count(*) as c
+              from d l join refd r on l.s = r.s
+              group by 1, 2
+            ),
+            jac as (
+              select c.id, c.rid,
+                     c.c::double / (sl.n + sr.n - c.c) as j
+              from common c
+              join sizes sl on sl.doc_id = c.id
+              join refsizes sr on sr.doc_id = c.rid
+            ),
+            hits as (
+              select id, count(*) as n_matched_refs, max(j) as mx
+              from jac where j >= {JACCARD_T} group by id
+            )
+            select doc_id as id,
+                   coalesce(h.n_matched_refs, 0) as n_matched_refs,
+                   round(coalesce(h.mx, 0.0), 6) as max_ref_jaccard,
+                   coalesce(h.mx, 0.0) >= {JACCARD_T} as is_contaminated
+            from documents left join hits h on doc_id = h.id
+        """,
+        "ngram_topk": f"""
+            with sh as (
+              select doc_id, unnest({_shingles_sql(2)}) as s from documents
+            ),
+            d as (select distinct doc_id, s from sh),
+            freq as (
+              select s as gram, count(*) as doc_freq from d group by s
+            )
+            select gram, doc_freq from freq
+            order by doc_freq desc, gram asc limit 50
+        """,
+        "soft_dedup_weights": f"""
+            with clus as ({_CLUSTERS_SQL}),
+            sizes as (
+              select cluster_id, count(*) as cluster_size
+              from clus group by cluster_id
+            )
+            select c.id, c.cluster_id, s.cluster_size,
+                   round(1.0 / s.cluster_size, 6) as weight
+            from clus c join sizes s using (cluster_id)
         """,
         "doc_text_stats": f"""
             select doc_id,

@@ -15,4 +15,14 @@ Each module is one operator family from SURVEY.md §2 Part B:
 * ``embedding``  — cosine top-k / near-dup over embedding columns
                    (brute-force baseline + LSH-bucketed scale path).
 * ``exactdup``   — exact duplicate grouping via content hash.
+* ``decontam``   — test-set decontamination: exact n-gram containment +
+                   fuzzy MinHash whole-document Jaccard vs a benchmark set.
+* ``softdedup``  — soft dedup: inverse-cluster-size sampling weights
+                   (keep everything, downweight duplicates).
+* ``ngrams``     — corpus n-gram audit (top-k grams by document frequency).
+* ``suffixarray``— per-conversation suffix-array repetition stats.
+* ``boilerplate``— cross-document recurring-line removal.
+* ``repetition`` — Gopher-style within-document repetition gates.
+* ``sampling``   — deterministic stratified sampling + mixture planning.
+* ``packing``    — context-window sequence packing plans.
 """

@@ -31,6 +31,8 @@ hash-injectivity makes the hashed form equivalent.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 from pyspark.sql import DataFrame, functions as F
 
 from . import minhash
@@ -128,3 +130,128 @@ def ngram_containment(
     return out.withColumn(
         "is_contaminated", F.col("contamination_frac") >= F.lit(threshold)
     )
+
+
+def minhash_decontam(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    w: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_ref_bucket: int = 2000,
+    seed: int = 1,
+    scheme: str = "kperm",
+) -> Tuple[DataFrame, DataFrame]:
+    """Fuzzy decontamination: whole-document Jaccard vs a benchmark set.
+
+    The n-gram containment pass above catches verbatim span overlap; this
+    operator catches PARAPHRASED / lightly-edited benchmark leakage the
+    way fuzzy train-test decontamination does it (e.g. the Llama-style
+    MinHash pass over benchmarks): a training document is contaminated if
+    its w-shingle Jaccard similarity with ANY reference document reaches
+    ``threshold``.
+
+    Returns ``(result, skew_audit)``:
+
+    * ``result`` — one row per input document:
+      ``(id, n_matched_refs, max_ref_jaccard, is_contaminated)``, where
+      ``n_matched_refs`` counts reference rows with exact (hash-set)
+      Jaccard >= threshold and ``max_ref_jaccard`` is the largest such
+      similarity (0.0 for documents with no candidate match).
+    * ``skew_audit`` — reference band buckets larger than
+      ``max_ref_bucket`` that were excluded from candidate generation
+      ``(band_idx, band_hash, bucket_size)`` — reported, never silent.
+
+    Scale design: both sides run the fused signature+band kernel
+    (``minhash.minhash_band_hashes``); candidates come from ONE cross-
+    table equi-join on (band_idx, band_hash). The reference side is a
+    benchmark corpus — orders of magnitude smaller than the training
+    corpus — so AQE broadcasts its band table and the corpus side is
+    never shuffled for candidate generation. Verification is exact
+    Jaccard over the two shingle tables (no estimate in the output), and
+    the per-document rollup is one partial-aggregated groupBy. A LEFT
+    join from the corpus id set keeps zero-hit documents.
+    """
+    sh = minhash.shingle_df(df, id_col, text_col, w=w).localCheckpoint(
+        eager=True
+    )
+    ref = ref_df.select(
+        F.monotonically_increasing_id().alias("_rid"), ref_text_col
+    )
+    ref_sh = minhash.shingle_df(ref, "_rid", ref_text_col, w=w).localCheckpoint(
+        eager=True
+    )
+
+    kw = dict(num_perm=num_perm, bands=bands, rows=rows, seed=seed,
+              scheme=scheme)
+    corpus_bands = minhash.explode_band_hashes(
+        minhash.minhash_band_hashes(sh, **kw)
+    )
+    ref_bands = minhash.explode_band_hashes(
+        minhash.minhash_band_hashes(ref_sh, **kw)
+    ).withColumnRenamed("id", "rid")
+
+    # Skew guard on the (small) reference side: a degenerate benchmark
+    # band bucket of size m meets every matching corpus row m times.
+    bucket_sizes = ref_bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    skew_audit = bucket_sizes.filter(
+        F.col("bucket_size") > max_ref_bucket
+    ).select("band_idx", "band_hash", "bucket_size")
+    ref_bands = ref_bands.join(
+        F.broadcast(skew_audit.select("band_idx", "band_hash")),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
+
+    cand = (
+        corpus_bands.join(ref_bands, ["band_idx", "band_hash"])
+        .select("id", "rid")
+        .dropDuplicates(["id", "rid"])
+    )
+
+    # Exact verify: hashed-shingle set Jaccard (injective-up-to-collision
+    # span hashes, the same equivalence the LSH oracle relies on).
+    j = (
+        cand.join(sh.withColumnRenamed("shingles", "sh_l"), "id")
+        .join(
+            ref_sh.select(
+                F.col("id").alias("rid"), F.col("shingles").alias("sh_r")
+            ),
+            "rid",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    verified = j.select(
+        "id",
+        (
+            inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+    hits = verified.groupBy("id").agg(
+        F.count("*").alias("n_matched_refs"),
+        F.max("jaccard").alias("max_j"),
+    )
+    out = (
+        sh.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_matched_refs", F.lit(0)).alias("n_matched_refs"),
+            F.round(F.coalesce("max_j", F.lit(0.0)), 6).alias(
+                "max_ref_jaccard"
+            ),
+            (F.coalesce("max_j", F.lit(0.0)) >= F.lit(threshold)).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+    return out, skew_audit

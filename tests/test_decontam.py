@@ -28,6 +28,62 @@ REF = [
 N = 5
 
 
+# 40 distinct tokens; a single-token edit leaves Jaccard at 31/41 ~ 0.756,
+# where a 32x4-band LSH miss has probability (1 - 0.756^4)^32 ~ 3e-6 —
+# deterministic-seed safe.
+_BASE = " ".join(f"tok{i}" for i in range(40))
+_NEAR = _BASE.replace("tok11 ", "edited11 ")  # 1-token edit, high Jaccard
+FUZZY_CORPUS = [
+    ("exact", _BASE),
+    ("near", _NEAR),
+    ("clean", "totally disjoint content about completely other things entirely "
+              "nothing matches the benchmark set at all in any way"),
+    ("short", "tiny doc"),
+]
+FUZZY_REF = [("r1", _BASE), ("r2", "unrelated benchmark question text")]
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / max(len(a | b), 1)
+
+
+def test_minhash_decontam_matches_bruteforce(spark):
+    df = spark.createDataFrame(FUZZY_CORPUS, ["doc_id", "text"])
+    ref = spark.createDataFrame(FUZZY_REF, ["rid", "text"])
+    out, audit = decontam.minhash_decontam(
+        df, ref, "doc_id", "text", w=5, threshold=0.5
+    )
+    got = {r.id: r for r in out.collect()}
+    assert set(got) == {d for d, _ in FUZZY_CORPUS}  # zero-hit docs survive
+    ref_sets = [_py_ngrams(t, 5) for _, t in FUZZY_REF]
+    for doc_id, text in FUZZY_CORPUS:
+        g = _py_ngrams(text, 5)
+        sims = [_jaccard(g, r) for r in ref_sets]
+        hits = [s for s in sims if s >= 0.5]
+        r = got[doc_id]
+        assert r.n_matched_refs == len(hits), doc_id
+        assert abs(r.max_ref_jaccard - (max(hits) if hits else 0.0)) < 1e-6
+        assert r.is_contaminated == bool(hits)
+    assert got["exact"].max_ref_jaccard == 1.0
+    assert got["near"].is_contaminated  # the paraphrased leak is caught
+    assert not got["clean"].is_contaminated
+    assert audit.count() == 0  # no oversized benchmark buckets here
+
+
+def test_minhash_decontam_skew_audit(spark):
+    """A degenerate benchmark (many identical rows) trips the bucket cap:
+    candidates from those buckets are excluded AND reported."""
+    df = spark.createDataFrame([("d", _BASE)], ["doc_id", "text"])
+    ref = spark.createDataFrame([(str(i), _BASE) for i in range(8)],
+                                ["rid", "text"])
+    out, audit = decontam.minhash_decontam(
+        df, ref, "doc_id", "text", w=5, threshold=0.5, max_ref_bucket=4
+    )
+    assert audit.count() > 0
+    r = out.collect()[0]
+    assert r.n_matched_refs == 0 and not r.is_contaminated
+
+
 def test_containment_matches_bruteforce(spark):
     df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
     ref = spark.createDataFrame(REF, ["rid", "text"])
