@@ -156,6 +156,35 @@ def _q_decontam(spark, sf_dir):
     )
 
 
+# planted low-quality stratum for the classifier query (the drop branch)
+_QM_SOUP = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (`functions/quality_model.py`):
+    linear-classifier serving path — fixed offline-trained weights over
+    four codegen features, gate decided on the exact-arithmetic logit.
+    Zero shuffles, zero Python; the DuckDB twin is generated from the
+    same weight constants. The synthetic corpus is uniformly prose-like
+    (every row keeps), so the query replaces a fixed doc_id stratum with
+    punctuation soup — the SAME expression in the oracle SQL — so the
+    drop branch of the gate is actually exercised."""
+    from rust_gd_spark.functions.quality_model import (
+        quality_keep, quality_logit, quality_prob,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 9 == 0, F.lit(_QM_SOUP)).otherwise(t),
+    ).select(
+        "doc_id",
+        F.round(quality_logit(t), 6).alias("logit"),
+        F.round(quality_prob(t), 6).alias("prob"),
+        quality_keep(t).alias("keep"),
+    )
+
+
 def _q_decontam_fuzzy(spark, sf_dir):
     """Fuzzy decontamination (`decontam.minhash_decontam`): whole-document
     shingle-Jaccard vs the same deterministic 5% benchmark slice, MinHash/
@@ -805,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "decontam_ngrams": _q_decontam,
         "decontam_fuzzy": _q_decontam_fuzzy,
+        "quality_classifier": _q_quality_classifier,
         "ngram_topk": _q_ngram_topk,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "doc_text_stats": _q_text_stats,
@@ -1167,6 +1197,24 @@ def _pii_oracle_sql() -> str:
     """
 
 
+def _quality_classifier_oracle_sql() -> str:
+    from rust_gd_spark.functions import quality_model as qm
+
+    return f"""
+        with docs as (
+          select doc_id,
+                 case when doc_id % 9 = 0 then '{_QM_SOUP}'
+                      else text end as text
+          from documents
+        )
+        select doc_id,
+               round({qm.quality_logit_sql('text')}, 6) as logit,
+               round({qm.quality_prob_sql('text')}, 6) as prob,
+               {qm.quality_keep_sql('text')} as keep
+        from docs
+    """
+
+
 def _boilerplate_oracle_sql() -> str:
     from rust_gd_spark.operators.boilerplate import boilerplate_lines_sql
 
@@ -1309,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.mx, 0.0) >= {JACCARD_T} as is_contaminated
             from documents left join hits h on doc_id = h.id
         """,
+        "quality_classifier": _quality_classifier_oracle_sql(),
         "ngram_topk": f"""
             with sh as (
               select doc_id, unnest({_shingles_sql(2)}) as s from documents

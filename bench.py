@@ -118,6 +118,8 @@ def main() -> None:
           lambda: _force(q["minhash_lsh_pairs_oph"](spark, sf_dir)))
     timed("decontam_ngrams", lambda: _force(q["decontam_ngrams"](spark, sf_dir)))
     timed("decontam_fuzzy", lambda: _force(q["decontam_fuzzy"](spark, sf_dir)))
+    timed("quality_classifier",
+          lambda: _force(q["quality_classifier"](spark, sf_dir)))
     timed("ngram_topk", lambda: _force(q["ngram_topk"](spark, sf_dir)))
     timed("soft_dedup_weights",
           lambda: _force(q["soft_dedup_weights"](spark, sf_dir)))
