@@ -189,11 +189,19 @@ def minhash_decontam(
 
     kw = dict(num_perm=num_perm, bands=bands, rows=rows, seed=seed,
               scheme=scheme)
+    # Checkpoint both fused band tables before the explode (same pattern
+    # as minhash_near_dup_pairs): posexplode's inferred
+    # `size(bands) > 0 AND isnotnull(bands)` filter gets pushed below the
+    # explode and DUPLICATES the signature UDF (two ArrowEvalPython nodes
+    # — the round-3 Catalyst plan bug, verified with explain('formatted')
+    # here too); materializing runs the dominant kernel exactly once. The
+    # ref band table is additionally scanned three times (bucket sizes,
+    # anti-join, candidate join).
     corpus_bands = minhash.explode_band_hashes(
-        minhash.minhash_band_hashes(sh, **kw)
+        minhash.minhash_band_hashes(sh, **kw).localCheckpoint(eager=True)
     )
     ref_bands = minhash.explode_band_hashes(
-        minhash.minhash_band_hashes(ref_sh, **kw)
+        minhash.minhash_band_hashes(ref_sh, **kw).localCheckpoint(eager=True)
     ).withColumnRenamed("id", "rid")
 
     # Skew guard on the (small) reference side: a degenerate benchmark
