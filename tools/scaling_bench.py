@@ -172,6 +172,7 @@ def main() -> None:
         "steal_pct": steal_pct,
         "mode": args.mode,
         "minhash_scheme": args.minhash_scheme,
+        "concurrent_paths": bool(args.concurrent_paths),
     }
     line = json.dumps(rec)
     print(line)
