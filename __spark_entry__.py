@@ -516,6 +516,46 @@ def _q_join_agg(spark, sf_dir):
     )
 
 
+def _q_event_window_stats(spark, sf_dir):
+    """Epoch-aligned tumbling-window event aggregation (batch form of the
+    watermarked streaming query in `streaming_window.py`; the reference
+    has no event-time surface — this is engine-completeness for corpus
+    ingest telemetry). Window bounds emitted as epoch seconds so the
+    hash compare is dtype- and timezone-proof."""
+    from rust_gd_spark.streaming_window import tumbling_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = tumbling_event_stats(ev, window="1 hour")
+    return out.select(
+        # parquet reads as TIMESTAMP_NTZ, which has no direct long cast;
+        # session tz is UTC so the ltz hop preserves the epoch instant
+        F.col("window_start").cast("timestamp_ltz").cast("long").alias("window_start_s"),
+        F.col("window_end").cast("timestamp_ltz").cast("long").alias("window_end_s"),
+        "event_type",
+        "n_events",
+        "n_users",
+        "sum_value",
+    )
+
+
+def _q_session_windows(spark, sf_dir):
+    """Per-user session windows (30-min gap merge) via Catalyst's native
+    SessionWindow — one shuffle by user_id, sort-local merge. Bounds as
+    epoch MICROseconds (exact integers; the fixture's timestamps carry
+    microsecond components)."""
+    from rust_gd_spark.streaming_window import session_event_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_event_windows(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp_ltz")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp_ltz")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from rust_gd_spark.operators.simhash import simhash_near_dup_pairs
 
@@ -857,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_reassembly": _q_window_reassembly,
         "window_rank": _q_window_rank,
         "join_agg_segment": _q_join_agg,
+        "event_window_stats": _q_event_window_stats,
+        "session_windows": _q_session_windows,
         "substring_pairs": _q_substring_pairs,
         "gd_roundtrip": _q_gd_roundtrip,
         "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
@@ -1552,5 +1594,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) as total_price
             from orders join customer on o_custkey = c_custkey
             group by c_mktsegment
+        """,
+        "event_window_stats": """
+            select cast(floor(epoch(ts) / 3600) as bigint) * 3600
+                       as window_start_s,
+                   cast(floor(epoch(ts) / 3600) as bigint) * 3600 + 3600
+                       as window_end_s,
+                   event_type,
+                   count(*) as n_events,
+                   count(distinct user_id) as n_users,
+                   round(sum(value), 6) as sum_value
+            from events
+            group by 1, 2, 3
+        """,
+        "session_windows": """
+            with brk as (
+                select user_id, ts, value,
+                       case when ts - lag(ts) over (
+                                partition by user_id order by ts
+                            ) > interval 30 minute
+                            then 1 else 0 end as is_brk
+                from events
+            ), sess as (
+                select user_id, ts, value,
+                       sum(is_brk) over (
+                           partition by user_id order by ts
+                           rows unbounded preceding
+                       ) as sess_id
+                from brk
+            )
+            select user_id,
+                   epoch_us(min(ts)) as session_start_us,
+                   epoch_us(max(ts)) + 1800000000 as session_end_us,
+                   count(*) as n_events,
+                   round(sum(value), 6) as sum_value
+            from sess
+            group by user_id, sess_id
         """,
     }

@@ -139,6 +139,9 @@ def main() -> None:
     timed("window_reassembly", lambda: _force(q["window_reassembly"](spark, sf_dir)))
     timed("window_rank", lambda: _force(q["window_rank"](spark, sf_dir)))
     timed("join_agg_segment", lambda: _force(q["join_agg_segment"](spark, sf_dir)))
+    timed("event_window_stats",
+          lambda: _force(q["event_window_stats"](spark, sf_dir)))
+    timed("session_windows", lambda: _force(q["session_windows"](spark, sf_dir)))
     timed("conv_repetition", lambda: _force(q["conv_repetition"](spark, sf_dir)))
     timed("cluster_representatives",
           lambda: _force(q["cluster_representatives"](spark, sf_dir)))
