@@ -725,13 +725,26 @@ def cosine_topk_ivf(
 
     Scale shape (the reason this exists next to the LSH path): the
     cell equi-join shuffles each index vector ONCE (its home cell) and
-    each probe ``n_probe`` times as a slim (id, cell) stream — candidate
-    volume is n·n_probe·(n/n_centroids) in expectation, tunable
-    independently of any similarity threshold (LSH banding needs a τ to
-    pick band widths; top-k has none). A (probe, neighbor) pair can meet
-    in at most one cell (the neighbor's home), so the stream needs no
-    dedup; vectors attach only in the slim verify join
-    (``_verify_cosine``); per-probe ranking is a bounded window.
+    each probe ``n_probe`` times — candidate volume is
+    n·n_probe·(n/n_centroids) in expectation, tunable independently of
+    any similarity threshold (LSH banding needs a τ to pick band widths;
+    top-k has none). A (probe, neighbor) pair can meet in at most one
+    cell (the neighbor's home), so the stream needs no dedup.
+
+    Unlike the LSH path — where a Hamming prefilter kills most
+    candidates before vectors attach, so the slim ``_verify_cosine``
+    join is right — IVF scores EVERY candidate, so the candidate stream
+    must never exist row-at-a-time. The scan is the actual FAISS
+    inverted-list kernel, grouped by cell (``applyInPandas``): one BLAS
+    matmul of the cell's probes × the cell's index list, per-probe local
+    top-k emitted directly. Local-then-global top-k is EXACT (any row a
+    cell discards is beaten by k rows of that same cell, hence by k rows
+    globally), and tie order matches brute force because the index list
+    is pre-sorted by neighbor_id and the per-row argsort is stable.
+    Bytes through Arrow: n·(n_probe+1) vectors — NOT the
+    n·n_probe·(n/n_centroids)-pair candidate stream (the previous
+    join+pairwise-dot shape measured 15–17 s at sf0.1 exhaustive; the
+    per-pair Arrow transfer was ~cell-size× more volume).
 
     ``n_probe >= n_centroids`` probes every cell — exact by construction
     (the oracle-checkable config); recall at pruned ``n_probe`` is pinned
@@ -754,16 +767,61 @@ def cosine_topk_ivf(
         eager=True
     )
     index = asg.select(
-        F.col("cells")[0].alias("cell"), F.col("id").alias("neighbor_id")
+        F.col("cells")[0].alias("cell"), "id", "vnorm",
+        F.lit(False).alias("is_probe"),
     )
-    probes = asg.select("id", F.explode("cells").alias("cell"))
-    cand = (
-        probes.join(index, "cell")
-        .filter(F.col("id") != F.col("neighbor_id"))
-        .select("id", "neighbor_id")
+    probes = asg.select(
+        F.explode("cells").alias("cell"), "id", "vnorm",
+        F.lit(True).alias("is_probe"),
     )
-    scored = _verify_cosine(cand, asg, "id", "neighbor_id").select(
-        "id", "neighbor_id", "cosine"
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _scan_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pdf[~pdf["is_probe"]]
+        prb = pdf[pdf["is_probe"]]
+        if len(idx) == 0 or len(prb) == 0:
+            return pd.DataFrame({"id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        # index list sorted by neighbor_id so the stable argsort below
+        # yields exact (-cosine, neighbor_id) order — brute-force parity
+        idx = idx.sort_values("id")
+        nid = idx["id"].to_numpy()
+        X = np.stack(idx["vnorm"].to_numpy()).astype(np.float64)
+        pid = prb["id"].to_numpy()
+        P = np.stack(prb["vnorm"].to_numpy()).astype(np.float64)
+        # round BEFORE selecting: ranks and tie-breaks must follow the
+        # 6-dp cosine (the engine-wide contract, same as _dot_udf) — a
+        # raw-order local top-k could drop the smaller-neighbor_id member
+        # of a rounds-to-equal tie, which no global merge can recover
+        S = np.round(P @ X.T, 6)
+        # mask self-matches (a probe's own home-cell row)
+        pos = np.searchsorted(nid, pid)
+        hit = (pos < len(nid)) & (nid[np.minimum(pos, len(nid) - 1)] == pid)
+        S[np.nonzero(hit)[0], pos[hit]] = -np.inf
+        kk = min(k, S.shape[1])
+        order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(S.shape[0]), kk)
+        cols = order.ravel()
+        keep = np.isfinite(S[rows, cols])
+        return pd.DataFrame(
+            {
+                "id": pid[rows[keep]],
+                "neighbor_id": nid[cols[keep]],
+                "cosine": S[rows, cols][keep],
+            }
+        )
+
+    scored = (
+        probes.unionByName(index)
+        .groupBy("cell")
+        .applyInPandas(_scan_cell, out_schema)
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
