@@ -556,6 +556,36 @@ def _q_session_windows(spark, sf_dir):
     )
 
 
+def _q_asof_join_events(spark, sf_dir):
+    """Backward-inclusive as-of join (operators/asof.py): every click
+    stamped with the user's most recent prior-or-simultaneous purchase.
+    Oracle = DuckDB's NATIVE `ASOF LEFT JOIN` — an independent engine
+    implementation of the same contract, not a re-derivation. Epoch-µs
+    bounds and NULLs for never-purchased users ride the hash compare."""
+    from rust_gd_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_cols=["ts", "event_id", "value"],
+    )
+    ltz = lambda c: F.col(c).cast("timestamp_ltz")  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(ltz("ts")).alias("ts_us"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.unix_micros(ltz("ts_r")).alias("purchase_ts_us"),
+        F.round("value_r", 6).alias("purchase_value"),
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from rust_gd_spark.operators.simhash import simhash_near_dup_pairs
 
@@ -899,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg_segment": _q_join_agg,
         "event_window_stats": _q_event_window_stats,
         "session_windows": _q_session_windows,
+        "asof_join_events": _q_asof_join_events,
         "substring_pairs": _q_substring_pairs,
         "gd_roundtrip": _q_gd_roundtrip,
         "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
@@ -1606,6 +1637,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) as sum_value
             from events
             group by 1, 2, 3
+        """,
+        "asof_join_events": """
+            select l.event_id,
+                   l.user_id,
+                   epoch_us(l.ts) as ts_us,
+                   r.event_id as purchase_id,
+                   epoch_us(r.ts) as purchase_ts_us,
+                   round(r.value, 6) as purchase_value
+            from (select event_id, ts, user_id from events
+                  where event_type = 'click') l
+            asof left join (select user_id, ts, event_id, value from events
+                            where event_type = 'purchase') r
+              on l.user_id = r.user_id and l.ts >= r.ts
         """,
         "session_windows": """
             with brk as (

@@ -142,6 +142,8 @@ def main() -> None:
     timed("event_window_stats",
           lambda: _force(q["event_window_stats"](spark, sf_dir)))
     timed("session_windows", lambda: _force(q["session_windows"](spark, sf_dir)))
+    timed("asof_join_events",
+          lambda: _force(q["asof_join_events"](spark, sf_dir)))
     timed("conv_repetition", lambda: _force(q["conv_repetition"](spark, sf_dir)))
     timed("cluster_representatives",
           lambda: _force(q["cluster_representatives"](spark, sf_dir)))
