@@ -556,6 +556,51 @@ def _q_session_windows(spark, sf_dir):
     )
 
 
+def _q_event_quantiles(spark, sf_dir):
+    """Exact ordered-set aggregate (`F.percentile`, NOT approx): p50/p90/p99
+    of value per event_type. Linear interpolation matches DuckDB
+    `quantile_cont`. Exact percentile is a sort-based agg — fine per
+    group at any scale when groups are few; the approximate path for
+    high-cardinality groups is `approx_percentile` (not oracle-able)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def _q_event_type_pivot(spark, sf_dir):
+    """`groupBy().pivot()` with an EXPLICIT value list (the implicit form
+    runs a driver job to collect distinct keys — never at corpus scale):
+    per-user event counts, one column per type. Compiles to a single
+    partial-aggregated shuffle of CASE sums."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+def _q_event_rollup(spark, sf_dir):
+    """`rollup(event_type, is_error_hour)` — grouping-sets aggregate with
+    grouping_id disambiguating NULL-as-total from NULL-as-value; one
+    Expand + one shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = (F.hour(F.col("ts").cast("timestamp_ltz")) % 2 == 0).cast("int")
+    return (
+        ev.withColumn("even_hour", bucket)
+        .rollup("event_type", "even_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def _q_asof_join_events(spark, sf_dir):
     """Backward-inclusive as-of join (operators/asof.py): every click
     stamped with the user's most recent prior-or-simultaneous purchase.
@@ -930,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": _q_event_window_stats,
         "session_windows": _q_session_windows,
         "asof_join_events": _q_asof_join_events,
+        "event_quantiles": _q_event_quantiles,
+        "event_type_pivot": _q_event_type_pivot,
+        "event_rollup": _q_event_rollup,
         "substring_pairs": _q_substring_pairs,
         "gd_roundtrip": _q_gd_roundtrip,
         "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
@@ -1637,6 +1685,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) as sum_value
             from events
             group by 1, 2, 3
+        """,
+        "event_quantiles": """
+            select event_type, count(*) as n_events,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.9), 6) as p90,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events group by event_type
+        """,
+        "event_type_pivot": """
+            select user_id,
+                   count(*) filter (where event_type = 'click') as n_click,
+                   count(*) filter (where event_type = 'view') as n_view,
+                   count(*) filter (where event_type = 'purchase') as n_purchase,
+                   count(*) filter (where event_type = 'signup') as n_signup,
+                   count(*) filter (where event_type = 'error') as n_error
+            from events group by user_id
+        """,
+        "event_rollup": """
+            with e as (
+                select event_type,
+                       cast(hour(ts) % 2 = 0 as int) as even_hour, value
+                from events
+            )
+            select event_type, even_hour,
+                   count(*) as n_events,
+                   round(sum(value), 4) as sum_value,
+                   grouping(event_type, even_hour) as gid
+            from e group by rollup (event_type, even_hour)
         """,
         "asof_join_events": """
             select l.event_id,

@@ -144,6 +144,9 @@ def main() -> None:
     timed("session_windows", lambda: _force(q["session_windows"](spark, sf_dir)))
     timed("asof_join_events",
           lambda: _force(q["asof_join_events"](spark, sf_dir)))
+    timed("event_quantiles", lambda: _force(q["event_quantiles"](spark, sf_dir)))
+    timed("event_type_pivot", lambda: _force(q["event_type_pivot"](spark, sf_dir)))
+    timed("event_rollup", lambda: _force(q["event_rollup"](spark, sf_dir)))
     timed("conv_repetition", lambda: _force(q["conv_repetition"](spark, sf_dir)))
     timed("cluster_representatives",
           lambda: _force(q["cluster_representatives"](spark, sf_dir)))
