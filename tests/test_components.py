@@ -71,3 +71,18 @@ def test_rounds_per_barrier_invariant(spark):
     base = _spark_components(spark, edges, rounds_per_barrier=1)
     for k in (2, 3):
         assert _spark_components(spark, edges, rounds_per_barrier=k) == base
+
+
+@pytest.mark.parametrize("name", sorted(EDGE_SETS))
+def test_small_graph_fast_path_matches_distributed(spark, name):
+    edges = EDGE_SETS[name]
+    dist = _spark_components(spark, edges)
+    fast = _spark_components(spark, edges, small_graph_rows=10_000)
+    assert fast == dist
+
+
+def test_small_graph_over_budget_falls_through(spark):
+    edges = EDGE_SETS["random"]
+    # bound smaller than the edge set: must fall through to the fixpoint
+    assert _spark_components(spark, edges, small_graph_rows=3) == \
+        _spark_components(spark, edges)
