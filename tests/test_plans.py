@@ -101,3 +101,41 @@ def test_exact_group_agg_is_partial(spark, tmp_path):
     plan = _plan(df)
     map_side = plan.split("Exchange")[-1]  # the subtree below the shuffle
     assert "partial_sum" in map_side
+
+
+def test_aqe_splits_planted_mega_key(spark):
+    """The skew story the operator docstrings rely on (hot LSH buckets,
+    mega IVF cells, hub users): a runtime-detected skewed partition is
+    split by AQE, not ours to hand-shard. Thresholds are lowered to make
+    a test-sized mega-key (50% of rows on one key) cross the skew bar;
+    the final adaptive plan must carry the skew=true split marker."""
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id")).alias("pay"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200000
+        plan = _plan(j)  # the SAME queryExecution collect() just ran
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
