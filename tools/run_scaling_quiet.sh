@@ -23,6 +23,13 @@ MAX_PAIRS="${6:-3}"
 DEADLINE_MIN="${7:-150}"
 PRE_STEAL_MAX="${PRE_STEAL_MAX:-0.20}"   # %: gate to open a leg
 LEG_STEAL_MAX="${LEG_STEAL_MAX:-0.50}"   # %: accept a finished leg
+# Mid-pair re-check threshold. Defaults to the open gate; set lower on
+# oscillating-ambient days: the mid probe is a POINT sample between legs
+# (the legs themselves are certified by their in-leg steal checks and
+# recorded throughputs), so a ±1 GB/s ambient wobble should not knife an
+# otherwise-clean pair — while a genuine collapse still must. The
+# accepted row always records the measured midpair_triad_gbs.
+MID_BW_MIN_GBS="${MID_BW_MIN_GBS:-}"
 # DRAM-interference gate: co-tenant memory-bandwidth pressure does NOT
 # register as steal time (steal only counts CPU the hypervisor withheld),
 # but it depresses every leg — measured 2026-08-17: a day with 1-core
@@ -171,8 +178,9 @@ while [ "$PAIRS_DONE" -lt "$MAX_PAIRS" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; d
   [ "$ok" = "1" ] || { echo "small leg polluted (steal ${S_S}%), retrying"; continue; }
   # mid-pair DRAM re-check: a bandwidth drop between legs invalidates the pair
   MIDBW=$(taskset -c 0 python tools/bw_probe.py --quick)
-  midok=$(python -c "print(1 if $MIDBW >= $BW_MIN_GBS else 0)")
-  [ "$midok" = "1" ] || { echo "mid-pair triad ${MIDBW} < ${BW_MIN_GBS} GB/s, retrying pair"; continue; }
+  MIDGATE="${MID_BW_MIN_GBS:-$BW_MIN_GBS}"
+  midok=$(python -c "print(1 if $MIDBW >= $MIDGATE else 0)")
+  [ "$midok" = "1" ] || { echo "mid-pair triad ${MIDBW} < ${MIDGATE} GB/s, retrying pair"; continue; }
   echo "=== pair attempt: leg N=$N_BIG ==="
   BIG=$(run_leg "$N_BIG") || { echo "big leg failed"; continue; }
   read -r T_B S_B <<< "$BIG"
