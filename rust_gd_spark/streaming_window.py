@@ -143,6 +143,39 @@ def streaming_tumbling_stats(
     )
 
 
+def streaming_session_windows(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked streaming form of :func:`session_event_windows`.
+
+    Append-mode contract: a session row is emitted exactly once, when the
+    watermark passes ``session_end`` (the session can no longer grow —
+    any event that could extend it would be late beyond the horizon and
+    dropped). State per key is the open sessions only; closed sessions
+    are evicted on emission. Same gap-merge semantics as the batch form
+    (asserted equal on finalized sessions in tests)."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col).alias("user_id"), sw.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source event stream with the pinned schema (streaming file
     sources require an explicit schema; new files in ``path`` become new

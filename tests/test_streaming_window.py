@@ -182,3 +182,52 @@ def test_watermark_drops_late_rows(spark, stream_dirs, tmp_path):
     assert len(hour0b) == 1 and hour0b[0]["n_events"] == 2  # unchanged
     six = [r for r in rows2 if r["window_start"] == T0 + dt.timedelta(hours=6)]
     assert len(six) == 1 and six[0]["n_events"] == 1
+
+
+def test_streaming_sessions_match_batch_on_finalized(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    rows = []
+    # user 100: three bursts separated by > gap; user 101: one long session
+    for u, base_minutes in ((100, 0), (100, 120), (100, 300), (101, 30)):
+        for j in range(4):
+            rows.append(
+                _ev(len(rows), T0 + dt.timedelta(minutes=base_minutes + 5 * j),
+                    u, value=1.0)
+            )
+    # sentinel far in the future: watermark = 30h - 2h finalizes everything
+    rows.append(_ev(999, T0 + dt.timedelta(hours=30), 999))
+    _write_batch(spark, rows, src)
+
+    from rust_gd_spark.streaming_window import (
+        session_event_windows,
+        streaming_session_windows,
+    )
+
+    stream = streaming_session_windows(
+        read_event_stream(spark, src), gap="30 minutes", watermark="2 hours"
+    )
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(qname).collect()}
+
+    max_ts = max(r[1] for r in rows)
+    horizon = max_ts - dt.timedelta(hours=2)
+    expected = {
+        tuple(r)
+        for r in session_event_windows(_mk(spark, rows), gap="30 minutes")
+        .filter(F.col("session_end") <= F.lit(horizon))
+        .collect()
+    }
+    assert got == expected
+    # the three bursts stayed three distinct sessions; the sentinel's own
+    # session is still open (its end is past the horizon) and NOT emitted
+    assert sum(1 for g in got if g[0] == 100) == 3
+    assert all(g[0] != 999 for g in got)
