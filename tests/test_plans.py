@@ -139,3 +139,36 @@ def test_aqe_splits_planted_mega_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark, tmp_path):
+    """The co-located-join claim: two tables bucketed on the join key by
+    the same bucket count sort-merge-join with NO Exchange at all —
+    bucketing is the 100 TB lever for repeated joins on a stable key
+    (dedup runs that re-join the same content-key store every batch)."""
+    import uuid
+
+    # unique names: a managed table's LOCATION survives a metastore reset,
+    # so a fixed name collides with leftovers from earlier sessions
+    ta, tb = f"bkt_a_{uuid.uuid4().hex[:8]}", f"bkt_b_{uuid.uuid4().hex[:8]}"
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        ).write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(ta)
+        spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        ).write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(tb)
+        j = spark.table(ta).join(spark.table(tb), "k")
+        assert j.count() == 5000
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0
+    finally:
+        spark.sql(f"drop table if exists {ta}")
+        spark.sql(f"drop table if exists {tb}")
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
