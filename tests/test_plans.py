@@ -172,3 +172,21 @@ def test_bucketed_tables_join_with_zero_exchange(spark, tmp_path):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """Hive-style partitioned layout + partition pruning: a filter on the
+    partition column reaches the scan as a PartitionFilter, so untouched
+    day-directories are never opened — the layout lever that bounds every
+    incremental/backfill job by the days it touches, not corpus size."""
+    p = str(tmp_path / "by_day")
+    spark.sql(
+        "select id, date_add(date'2024-01-01', cast(id % 7 as int)) as day,"
+        " cast(id as double) as v from range(700)"
+    ).write.partitionBy("day").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("day") == "2024-01-03").select("id", "v")
+    plan = _plan(df)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "2024-01-03" in part_filters
+    # data filters list stays empty: nothing is re-checked row-wise
+    assert df.count() == 100
