@@ -133,6 +133,34 @@ def _q_minhash_lsh_oph(spark, sf_dir):
     return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_bloom_dedup(spark, sf_dir):
+    """Cross-corpus exact dedup through the sharded-Bloom prefilter: the
+    'corpus' is 90% of documents (doc_id % 10 != 0), the 'new batch' is
+    the other 10% plus planted re-identified copies of corpus texts
+    (doc_id % 7 == 1, re-keyed +10M) — survivors are batch rows whose text
+    is absent from the corpus. Exact anti-join semantics (the filter only
+    routes work), so the plain DuckDB NOT IN is a bit-exact oracle. Scale
+    shape: corpus folds map-side into 32 bitsets; only the batch and the
+    Bloom-hit candidate keys ever shuffle (operators/bloom.py docstring
+    for the 10^12-row arithmetic)."""
+    from rust_gd_spark.operators.bloom import bloom_anti_join
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    planted = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    newbatch = (
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        .unionByName(planted)
+    )
+    out = bloom_anti_join(
+        newbatch, corpus, "doc_id", "text",
+        num_shards=32, bits_per_shard=1 << 20, num_hashes=6,
+    )
+    return out.select(F.col("id").alias("doc_id"), "content_key")
+
+
 def _q_decontam(spark, sf_dir):
     """Test-set decontamination: contamination fraction of every document
     against a deterministic 5% 'benchmark' slice (doc_id % 20 == 0) of the
@@ -947,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
+        "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
         "decontam_fuzzy": _q_decontam_fuzzy,
         "quality_classifier": _q_quality_classifier,
@@ -1426,6 +1455,23 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs_oph": _JACCARD_SQL,
+        "bloom_dedup_newbatch": """
+            with corpus as (
+              select * from documents where doc_id % 10 <> 0
+            ),
+            newbatch as (
+              select doc_id, coalesce(text, '') as t
+              from documents where doc_id % 10 = 0
+              union all
+              select doc_id + 10000000 as doc_id, coalesce(text, '') as t
+              from corpus where doc_id % 7 = 1
+            )
+            select n.doc_id as doc_id, md5(n.t) as content_key
+            from newbatch n
+            where md5(n.t) not in (
+              select md5(coalesce(text, '')) from corpus
+            )
+        """,
         "decontam_ngrams": f"""
             with sh as (
               select doc_id, unnest({_SHINGLES}) as s from documents

@@ -116,6 +116,8 @@ def main() -> None:
     timed("minhash_lsh_pairs", lambda: _force(q["minhash_lsh_pairs"](spark, sf_dir)))
     timed("minhash_lsh_pairs_oph",
           lambda: _force(q["minhash_lsh_pairs_oph"](spark, sf_dir)))
+    timed("bloom_dedup_newbatch",
+          lambda: _force(q["bloom_dedup_newbatch"](spark, sf_dir)))
     timed("decontam_ngrams", lambda: _force(q["decontam_ngrams"](spark, sf_dir)))
     timed("decontam_fuzzy", lambda: _force(q["decontam_fuzzy"](spark, sf_dir)))
     timed("quality_classifier",

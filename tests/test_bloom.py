@@ -1,0 +1,145 @@
+"""Bloom-prefiltered cross-corpus dedup (operators/bloom.py).
+
+Contract under test: EXACT anti-join semantics regardless of Bloom sizing
+(the filter may only add confirm work, never change the answer), zero
+false negatives (reference dictionary invariant `src/dict.rs:38-63`:
+a present key always probes present), and shard-routing parity between
+the JVM pmod probe path and the numpy build path.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_texts(seed: int, n: int) -> list[str]:
+    rng = random.Random(seed)
+    words = [f"w{i:03d}" for i in range(200)]
+    return [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 30)))
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    texts = _mk_texts(7, 400)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def new_df(spark, corpus_df):
+    """120 planted dups of corpus texts (new ids) + 80 fresh texts + a NULL
+    and an empty text (NULL doctrine: both key as md5(''))."""
+    texts = _mk_texts(7, 400)
+    dups = [(10_000 + i, texts[i * 3]) for i in range(120)]
+    fresh = [(20_000 + i, t) for i, t in enumerate(_mk_texts(99, 80))]
+    extra = [(30_000, None), (30_001, "")]
+    df = spark.createDataFrame(
+        dups + fresh + extra, "doc_id long, text string"
+    )
+    df.cache().count()
+    return df
+
+
+def _expected_survivor_ids(corpus_df, new_df) -> set:
+    corpus_texts = {
+        (r.text or "") for r in corpus_df.select("text").collect()
+    }
+    return {
+        r.doc_id
+        for r in new_df.collect()
+        if (r.text or "") not in corpus_texts
+    }
+
+
+def test_no_false_negatives(spark, corpus_df, new_df):
+    """Every key that IS in the corpus must flag bloom_hit=True — for any
+    shard count, including one that exercises negative-hash routing."""
+    from rust_gd_spark.operators.bloom import build_shard_blooms, flag_might_contain
+
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    corpus_keys = corpus_df.select(F.xxhash64(key).alias("key_hash"))
+    for num_shards in (1, 7, 32):
+        blooms = build_shard_blooms(
+            corpus_keys, num_shards=num_shards, bits_per_shard=1 << 14, num_hashes=4
+        )
+        probes = new_df.select(
+            "doc_id", F.xxhash64(key).alias("key_hash")
+        )
+        flagged = flag_might_contain(
+            probes, blooms, 1 << 14, 4, num_shards
+        )
+        in_corpus_ids = {
+            r.doc_id
+            for r in new_df.collect()
+            if (r.text or "")
+            in {(c.text or "") for c in corpus_df.collect()}
+        }
+        hits = {r.doc_id for r in flagged.filter("bloom_hit").collect()}
+        assert in_corpus_ids <= hits, f"false negative at num_shards={num_shards}"
+
+
+def test_anti_join_exact(spark, corpus_df, new_df):
+    from rust_gd_spark.operators.bloom import bloom_anti_join
+
+    out = bloom_anti_join(new_df, corpus_df, "doc_id", "text",
+                          num_shards=8, bits_per_shard=1 << 16, num_hashes=5)
+    got = {r.id for r in out.collect()}
+    assert got == _expected_survivor_ids(corpus_df, new_df)
+
+
+def test_anti_join_exact_under_forced_false_positives(spark, corpus_df, new_df):
+    """A deliberately undersized filter (128 bits/shard for 400 keys) is
+    drowning in false positives — the exact confirm must still produce the
+    exact answer, and the FP path must actually be exercised."""
+    from rust_gd_spark.operators.bloom import (
+        bloom_anti_join,
+        build_shard_blooms,
+        flag_might_contain,
+    )
+
+    out = bloom_anti_join(new_df, corpus_df, "doc_id", "text",
+                          num_shards=2, bits_per_shard=128, num_hashes=2)
+    got = {r.id for r in out.collect()}
+    expected = _expected_survivor_ids(corpus_df, new_df)
+    assert got == expected
+
+    # prove FPs existed: flag fresh-only keys against the tiny filter
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    corpus_keys = corpus_df.select(F.xxhash64(key).alias("key_hash"))
+    blooms = build_shard_blooms(corpus_keys, 2, 128, 2)
+    fresh = new_df.filter(F.col("doc_id") >= 20_000).select(
+        "doc_id", F.xxhash64(key).alias("key_hash")
+    )
+    fp = flag_might_contain(fresh, blooms, 128, 2, 2).filter("bloom_hit").count()
+    assert fp > 0, "128-bit filter over 400 keys produced no FPs — probe broken?"
+
+
+def test_anti_join_shuffle_fallback_matches(spark, corpus_df, new_df):
+    from rust_gd_spark.operators.bloom import bloom_anti_join
+
+    a = bloom_anti_join(new_df, corpus_df, broadcast_candidates=True,
+                        num_shards=4, bits_per_shard=1 << 14, num_hashes=4)
+    b = bloom_anti_join(new_df, corpus_df, broadcast_candidates=False,
+                        num_shards=4, bits_per_shard=1 << 14, num_hashes=4)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_empty_sides(spark, corpus_df, new_df):
+    from rust_gd_spark.operators.bloom import bloom_anti_join
+
+    empty = new_df.filter("doc_id < 0")
+    # empty corpus: everything in the batch survives
+    out = bloom_anti_join(new_df, empty, "doc_id", "text",
+                          num_shards=4, bits_per_shard=1 << 10, num_hashes=3)
+    assert out.count() == new_df.count()
+    # empty batch: empty result
+    out2 = bloom_anti_join(empty, corpus_df, "doc_id", "text",
+                           num_shards=4, bits_per_shard=1 << 10, num_hashes=3)
+    assert out2.count() == 0

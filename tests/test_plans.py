@@ -190,3 +190,28 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     assert "2024-01-03" in part_filters
     # data filters list stays empty: nothing is re-checked row-wise
     assert df.count() == 100
+
+
+def test_bloom_confirm_never_shuffles_corpus(spark, tmp_path):
+    """The Bloom anti-join's exact-confirm path must keep the corpus on
+    the STREAMED side of broadcast joins: the only shuffles in the final
+    plan are the two small-side key distincts, and no sort-merge join
+    (which would shuffle corpus keys) may appear."""
+    from rust_gd_spark.operators.bloom import bloom_anti_join
+
+    p = str(tmp_path / "bloom_corpus")
+    spark.sql(
+        "select id as doc_id, concat('text ', id % 400) as text from range(2000)"
+    ).write.parquet(p)
+    corpus = spark.read.parquet(p)
+    batch = spark.sql(
+        "select id + 100000 as doc_id, concat('text ', id % 600) as text"
+        " from range(600)"
+    )
+    out = bloom_anti_join(batch, corpus, num_shards=4,
+                          bits_per_shard=1 << 12, num_hashes=4)
+    out.count()  # AQE: inspect the FINAL adaptive plan
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # cand/matched distincts
