@@ -503,6 +503,32 @@ def _q_embedding_topk_blocked(spark, sf_dir):
     )
 
 
+def _q_embedding_decontam(spark, sf_dir):
+    """Semantic (embedding-space) test-set decontamination — the fuzzy
+    complement of `decontam_ngrams`, in the spirit of SemDeDup/Phi-style
+    embedding contamination checks: for every corpus vector, its exact
+    max-cosine against a deterministic 5% 'benchmark' slice
+    (vec_id % 20 == 0), flagged at τ=0.35. Plan: benchmark broadcast once
+    (size-guarded), corpus streamed through one Arrow matmul kernel —
+    zero shuffles, the right shape when the benchmark is tiny and the
+    corpus is 10^12 rows. Exact, so the DuckDB cross-join top-1 is a
+    bit-exact oracle (6-dp round + neighbor-id tie-break on both sides)."""
+    from rust_gd_spark.operators.embedding import cosine_topk_bruteforce
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = e.filter(F.col("vec_id") % 20 == 0)
+    corpus = e.filter(F.col("vec_id") % 20 != 0)
+    top1 = cosine_topk_bruteforce(
+        corpus, "vec_id", "embedding", k=1, query_df=bench
+    )
+    return top1.select(
+        F.col("id").alias("vec_id"),
+        F.col("neighbor_id").alias("bench_id"),
+        F.col("cosine").alias("max_cosine"),
+        (F.col("cosine") >= 0.35).alias("contaminated"),
+    )
+
+
 def _q_window_reassembly(spark, sf_dir):
     from rust_gd_spark.session import ensure_min_partitions
 
@@ -998,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "embedding_ann_highsim": _q_embedding_ann_highsim,
+        "embedding_decontam": _q_embedding_decontam,
         "window_reassembly": _q_window_reassembly,
         "window_rank": _q_window_rank,
         "join_agg_segment": _q_join_agg,
@@ -1577,6 +1604,28 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "embedding_topk_cosine": _EMB_TOPK_SQL,
+        "embedding_decontam": """
+            with n as (
+              select vec_id,
+                     list_transform(embedding, x -> x::double /
+                       sqrt(list_sum(list_transform(embedding,
+                         y -> y::double * y::double)))) as v
+              from embeddings
+            ),
+            bench as (select * from n where vec_id % 20 = 0),
+            corpus as (select * from n where vec_id % 20 <> 0),
+            sims as (
+              select c.vec_id, b.vec_id as bench_id,
+                     round(list_sum(list_transform(range(1, len(c.v) + 1),
+                           i -> c.v[i] * b.v[i])), 6) as cosine
+              from corpus c cross join bench b
+            )
+            select vec_id, bench_id, cosine as max_cosine,
+                   (cosine >= 0.35) as contaminated
+            from sims
+            qualify row_number() over (
+              partition by vec_id order by cosine desc, bench_id) = 1
+        """,
         "embedding_topk_blocked": _EMB_TOPK_SQL,
         "embedding_topk_ivf": _EMB_TOPK_SQL,
         "embedding_ann_lsh": """

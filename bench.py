@@ -138,6 +138,8 @@ def main() -> None:
     timed("embedding_topk_ivf_pruned",
           lambda: _force(q["embedding_topk_ivf_pruned"](spark, sf_dir)))
     timed("embedding_ann_lsh", lambda: _force(q["embedding_ann_lsh"](spark, sf_dir)))
+    timed("embedding_decontam",
+          lambda: _force(q["embedding_decontam"](spark, sf_dir)))
     timed("window_reassembly", lambda: _force(q["window_reassembly"](spark, sf_dir)))
     timed("window_rank", lambda: _force(q["window_rank"](spark, sf_dir)))
     timed("join_agg_segment", lambda: _force(q["join_agg_segment"](spark, sf_dir)))
