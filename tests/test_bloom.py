@@ -143,3 +143,43 @@ def test_empty_sides(spark, corpus_df, new_df):
     out2 = bloom_anti_join(empty, corpus_df, "doc_id", "text",
                            num_shards=4, bits_per_shard=1 << 10, num_hashes=3)
     assert out2.count() == 0
+
+
+def test_kernel_no_false_negative_property():
+    """Pure-numpy property: any key folded into a bitset must test
+    positive afterwards, for adversarial sizes (tiny m, many hashes) and
+    the full signed-hash range — no Spark involved."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from rust_gd_spark.operators.bloom import _km_index, _set_bits, _test_bits
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=1, max_size=64,
+        ),
+        m_bits=st.sampled_from([8, 64, 1024, 1 << 16]),
+        k=st.integers(min_value=1, max_value=8),
+    )
+    def check(keys, m_bits, k):
+        h = np.array(keys, dtype=np.int64).view(np.uint64)
+        bits = np.zeros(m_bits // 8, np.uint8)
+        _set_bits(bits, _km_index(h, k, m_bits))
+        assert _test_bits(bits, _km_index(h, k, m_bits)).all()
+
+    check()
+
+
+def test_kernel_shard_parity_with_pmod():
+    """numpy int64 % positive divisor must equal Spark's pmod for the
+    whole signed range — the routing contract between build (numpy) and
+    probe (JVM expression)."""
+    import numpy as np
+
+    hs = np.array([-(2**63), -1, 0, 1, 2**63 - 1, -7, 7], dtype=np.int64)
+    for s in (1, 2, 7, 32):
+        got = hs % s
+        expected = np.array([((int(v) % s) + s) % s for v in hs])
+        assert (got == expected).all(), s
