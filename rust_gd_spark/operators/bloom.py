@@ -10,10 +10,12 @@ A plain anti-join answers it exactly but shuffles BOTH sides by key — at
 filter, e.g. Spark's own InjectRuntimeFilter) is a Bloom filter:
 
   stage 1  corpus → sharded Bloom bitsets, built MAP-SIDE. Each scan task
-           folds its rows into at most ``num_shards`` fixed-size bitsets
-           and emits those; a groupBy(shard) OR-combine produces the final
-           ``num_shards`` rows. Shuffle volume = tasks × shards × m/8
-           bytes — independent of corpus row count.
+           folds its rows into per-shard partials — sparse (bit
+           positions) below the break-even, dense bitsets above — and a
+           groupBy(shard) OR-combine produces the final ``num_shards``
+           rows. Per-task shuffle volume = min(total bloom bytes,
+           task keys × k × 8 B): bounded by the smaller of the filter
+           itself and the keys the task actually saw.
   stage 2  new batch → one shuffle by shard → cogrouped membership test
            against the single bitset row of that shard (the bitset is
            never replicated per probe row, unlike a broadcast join whose
@@ -28,7 +30,8 @@ filter, e.g. Spark's own InjectRuntimeFilter) is a Bloom filter:
 The result is exact anti-join semantics (DuckDB-oracled in
 ``__spark_entry__.oracle_sql()['bloom_dedup_newbatch']``); the Bloom layer
 only decides how much work the exact confirm does. Total shuffled bytes:
-O(|new batch| + tasks × total_bloom_bytes), never O(|corpus|).
+O(|new batch| + Σ_task min(total_bloom_bytes, task_keys × 8)), never
+O(|corpus| × key width).
 
 Hashing: one JVM-side ``xxhash64`` per key, split Kirsch-Mitzenmacher
 style (h_i = h_lo + i·h_odd mod m — two halves of one 64-bit hash give k
@@ -85,17 +88,35 @@ def build_shard_blooms(
     """``(shard int, bits binary)`` — one row per shard that saw ≥ 1 key.
 
     Map-side partials: each input partition folds ALL its Arrow batches
-    into per-shard bitsets before emitting (task memory: ≤ num_shards ×
-    bits_per_shard/8 bytes — 4 MiB at the defaults; size the knobs so this
-    stays executor-resident). The groupBy(shard) OR-combine is the only
-    shuffle, and it moves bitsets, not keys.
+    into per-shard accumulators before emitting. A key-poor shard emits a
+    SPARSE partial (the sorted distinct bit positions, 8 B each); a
+    key-rich shard emits the dense bitset — whichever is smaller, chosen
+    per (task, shard). Per-task shuffle volume is therefore
+    min(num_shards × bits_per_shard/8, keys_in_task × num_hashes × 8 B):
+    never worse than shuffling the keys themselves (the plan this
+    operator exists to beat), and collapsing to tiny dense bitsets once
+    tasks are key-rich. Dense accumulator memory is allocated per shard
+    only after that shard crosses the sparse/dense break-even, so task
+    memory follows the same min().
     """
     if bits_per_shard % 8:
         raise ValueError("bits_per_shard must be a multiple of 8")
     nbytes = bits_per_shard // 8
 
     def _partials(batches):
-        acc: dict[int, np.ndarray] = {}
+        # per shard: either a dense uint8 bitset or a list of uint64
+        # position arrays (flattened lazily at emit)
+        dense: dict[int, np.ndarray] = {}
+        sparse: dict[int, list[np.ndarray]] = {}
+        sparse_n: dict[int, int] = {}
+
+        def densify(s: int) -> np.ndarray:
+            bits = dense[s] = np.zeros(nbytes, np.uint8)
+            for pos in sparse.pop(s, ()):
+                _set_bits(bits, pos)
+            sparse_n.pop(s, None)
+            return bits
+
         for pdf in batches:
             hs = pdf[key_hash_col].to_numpy(dtype=np.int64)
             h = hs.view(np.uint64)
@@ -109,27 +130,46 @@ def build_shard_blooms(
                 lo, hi = bounds[s], bounds[s + 1]
                 if lo == hi:
                     continue
-                bits = acc.get(s)
-                if bits is None:
-                    bits = acc[s] = np.zeros(nbytes, np.uint8)
-                _set_bits(bits, _km_index(h[lo:hi], num_hashes, bits_per_shard))
-        if acc:
+                pos = _km_index(h[lo:hi], num_hashes, bits_per_shard)
+                if s in dense:
+                    _set_bits(dense[s], pos)
+                    continue
+                flat = pos.ravel()
+                sparse.setdefault(s, []).append(flat)
+                sparse_n[s] = sparse_n.get(s, 0) + flat.size
+                if sparse_n[s] * 8 >= nbytes:  # break-even: go dense
+                    densify(s)
+
+        rows_shard, rows_bits, rows_dense = [], [], []
+        for s, bits in dense.items():
+            rows_shard.append(s); rows_bits.append(bits.tobytes()); rows_dense.append(True)
+        for s, chunks in sparse.items():
+            pos = np.unique(np.concatenate(chunks))
+            rows_shard.append(s); rows_bits.append(pos.tobytes()); rows_dense.append(False)
+        if rows_shard:
             yield pd.DataFrame(
                 {
-                    "shard": np.fromiter(acc, dtype=np.int32, count=len(acc)),
-                    "bits": [b.tobytes() for b in acc.values()],
+                    "shard": pd.Series(rows_shard, dtype="int32"),
+                    "bits": rows_bits,
+                    "dense": pd.Series(rows_dense, dtype=bool),
                 }
             )
 
     def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(nbytes, np.uint8)
-        for raw in pdf["bits"]:
-            bits |= np.frombuffer(raw, np.uint8)
-        return pd.DataFrame({"shard": pdf["shard"].iloc[:1], "bits": [bits.tobytes()]})
+        for raw, is_dense in zip(pdf["bits"], pdf["dense"]):
+            if is_dense:
+                bits |= np.frombuffer(raw, np.uint8)
+            else:
+                _set_bits(bits, np.frombuffer(raw, np.uint64))
+        return pd.DataFrame(
+            {"shard": pdf["shard"].iloc[:1], "bits": [bits.tobytes()]}
+        )
 
-    schema = "shard int, bits binary"
-    partials = keyed.select(key_hash_col).mapInPandas(_partials, schema)
-    return partials.groupBy("shard").applyInPandas(_combine, schema)
+    partials = keyed.select(key_hash_col).mapInPandas(
+        _partials, "shard int, bits binary, dense boolean"
+    )
+    return partials.groupBy("shard").applyInPandas(_combine, "shard int, bits binary")
 
 
 def flag_might_contain(

@@ -183,3 +183,24 @@ def test_kernel_shard_parity_with_pmod():
         got = hs % s
         expected = np.array([((int(v) % s) + s) % s for v in hs])
         assert (got == expected).all(), s
+
+
+def test_sparse_and_dense_partials_agree(spark, corpus_df, new_df):
+    """One fat input partition forces dense partials past the break-even;
+    many thin partitions stay sparse — the combined filter must flag the
+    exact same probe set either way."""
+    from rust_gd_spark.operators.bloom import build_shard_blooms, flag_might_contain
+
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    corpus_keys = corpus_df.select(F.xxhash64(key).alias("key_hash"))
+    probes = new_df.select("doc_id", F.xxhash64(key).alias("key_hash"))
+    m, k, s = 1 << 13, 4, 3  # 1 KiB/bitset: 400 keys dense, ~12/task sparse
+    flags = []
+    for parts in (1, 32):
+        blooms = build_shard_blooms(
+            corpus_keys.repartition(parts), num_shards=s,
+            bits_per_shard=m, num_hashes=k,
+        )
+        flagged = flag_might_contain(probes, blooms, m, k, s)
+        flags.append({r.doc_id for r in flagged.filter("bloom_hit").collect()})
+    assert flags[0] == flags[1]
