@@ -172,6 +172,39 @@ def build_shard_blooms(
     return partials.groupBy("shard").applyInPandas(_combine, "shard int, bits binary")
 
 
+def merge_shard_blooms(*blooms: DataFrame) -> DataFrame:
+    """OR-combine several ``(shard, bits)`` filter tables built with the
+    SAME (num_shards, bits_per_shard, num_hashes) — the incremental-corpus
+    maintenance path: persist the corpus filter once
+    (``blooms.write.parquet(path)``), then per ingest batch
+    ``merge_shard_blooms(spark.read.parquet(path),
+    build_shard_blooms(new_keys, ...))`` and write back. Union-OR is
+    exact: the merged filter is bit-identical to one built over the
+    concatenated corpora (pinned in tests), so dedup quality never decays
+    across increments. Bitsets can only gain bits; rebuild when the fill
+    fraction pushes the FP rate past budget (monitor via
+    ``F.bit_count``-style audits or key counts)."""
+
+    def _or(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.frombuffer(pdf["bits"].iloc[0], np.uint8).copy()
+        for raw in pdf["bits"].iloc[1:]:
+            other = np.frombuffer(raw, np.uint8)
+            if other.shape != acc.shape:
+                raise ValueError(
+                    "merge_shard_blooms: mismatched bits_per_shard "
+                    f"({other.size * 8} vs {acc.size * 8})"
+                )
+            acc |= other
+        return pd.DataFrame(
+            {"shard": pdf["shard"].iloc[:1], "bits": [acc.tobytes()]}
+        )
+
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("shard").applyInPandas(_or, "shard int, bits binary")
+
+
 def flag_might_contain(
     batch: DataFrame,
     blooms: DataFrame,

@@ -204,3 +204,36 @@ def test_sparse_and_dense_partials_agree(spark, corpus_df, new_df):
         flagged = flag_might_contain(probes, blooms, m, k, s)
         flags.append({r.doc_id for r in flagged.filter("bloom_hit").collect()})
     assert flags[0] == flags[1]
+
+
+def test_merge_equals_build_once(spark, corpus_df, tmp_path):
+    """Incremental maintenance: build over half the corpus, persist,
+    merge in the second half — the merged filter must be BIT-IDENTICAL
+    to one built over the full corpus in one pass."""
+    from rust_gd_spark.operators.bloom import build_shard_blooms, merge_shard_blooms
+
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    keys = corpus_df.select(F.xxhash64(key).alias("key_hash"))
+    a = keys.filter(F.col("key_hash") % 2 == 0)
+    b = keys.filter(F.col("key_hash") % 2 != 0)
+    args = dict(num_shards=5, bits_per_shard=1 << 13, num_hashes=4)
+
+    p = str(tmp_path / "blooms")
+    build_shard_blooms(a, **args).write.parquet(p)
+    merged = merge_shard_blooms(spark.read.parquet(p),
+                                build_shard_blooms(b, **args))
+    full = build_shard_blooms(keys, **args)
+    got = {r.shard: bytes(r.bits) for r in merged.collect()}
+    want = {r.shard: bytes(r.bits) for r in full.collect()}
+    assert got == want
+
+
+def test_merge_rejects_mismatched_sizes(spark, corpus_df):
+    from rust_gd_spark.operators.bloom import build_shard_blooms, merge_shard_blooms
+
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    keys = corpus_df.select(F.xxhash64(key).alias("key_hash"))
+    a = build_shard_blooms(keys, num_shards=3, bits_per_shard=1 << 10, num_hashes=3)
+    b = build_shard_blooms(keys, num_shards=3, bits_per_shard=1 << 12, num_hashes=3)
+    with pytest.raises(Exception, match="mismatched bits_per_shard"):
+        merge_shard_blooms(a, b).collect()
