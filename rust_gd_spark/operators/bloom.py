@@ -95,27 +95,32 @@ def build_shard_blooms(
     min(num_shards × bits_per_shard/8, keys_in_task × num_hashes × 8 B):
     never worse than shuffling the keys themselves (the plan this
     operator exists to beat), and collapsing to tiny dense bitsets once
-    tasks are key-rich. Dense accumulator memory is allocated per shard
-    only after that shard crosses the sparse/dense break-even, so task
-    memory follows the same min().
+    tasks are key-rich. Dense accumulators are boolean scatter arrays
+    (bits_per_shard BYTES each — 8× the packed bitset, packed at emit),
+    allocated per shard only after that shard crosses the sparse/dense
+    break-even; size num_shards × bits_per_shard so the worst case stays
+    executor-resident.
     """
     if bits_per_shard % 8:
         raise ValueError("bits_per_shard must be a multiple of 8")
     nbytes = bits_per_shard // 8
 
     def _partials(batches):
-        # per shard: either a dense uint8 bitset or a list of uint64
-        # position arrays (flattened lazily at emit)
+        # per shard: either a dense BOOLEAN scatter array (one byte per
+        # bit while accumulating — fancy boolean indexing is duplicate-
+        # safe and ~an order of magnitude faster than np.bitwise_or.at's
+        # scalar read-modify-write loop; packed 8:1 only at emit) or a
+        # list of uint64 position arrays (flattened lazily at emit)
         dense: dict[int, np.ndarray] = {}
         sparse: dict[int, list[np.ndarray]] = {}
         sparse_n: dict[int, int] = {}
 
         def densify(s: int) -> np.ndarray:
-            bits = dense[s] = np.zeros(nbytes, np.uint8)
+            mask = dense[s] = np.zeros(bits_per_shard, np.bool_)
             for pos in sparse.pop(s, ()):
-                _set_bits(bits, pos)
+                mask[pos] = True
             sparse_n.pop(s, None)
-            return bits
+            return mask
 
         for pdf in batches:
             hs = pdf[key_hash_col].to_numpy(dtype=np.int64)
@@ -132,7 +137,7 @@ def build_shard_blooms(
                     continue
                 pos = _km_index(h[lo:hi], num_hashes, bits_per_shard)
                 if s in dense:
-                    _set_bits(dense[s], pos)
+                    dense[s][pos.ravel()] = True
                     continue
                 flat = pos.ravel()
                 sparse.setdefault(s, []).append(flat)
@@ -141,8 +146,10 @@ def build_shard_blooms(
                     densify(s)
 
         rows_shard, rows_bits, rows_dense = [], [], []
-        for s, bits in dense.items():
-            rows_shard.append(s); rows_bits.append(bits.tobytes()); rows_dense.append(True)
+        for s, mask in dense.items():
+            rows_shard.append(s)
+            rows_bits.append(np.packbits(mask, bitorder="little").tobytes())
+            rows_dense.append(True)
         for s, chunks in sparse.items():
             pos = np.unique(np.concatenate(chunks))
             rows_shard.append(s); rows_bits.append(pos.tobytes()); rows_dense.append(False)
@@ -258,6 +265,7 @@ def bloom_anti_join(
     bits_per_shard: int = 1 << 20,
     num_hashes: int = 6,
     broadcast_candidates: bool = True,
+    materialize_keys: bool = False,
 ) -> DataFrame:
     """Rows of ``new_df`` whose text is NOT present in ``corpus_df`` —
     exact anti-join semantics, Bloom-accelerated. Output:
@@ -275,12 +283,21 @@ def bloom_anti_join(
     Bloom hits — true matches + ε·|new| false positives), so nothing
     corpus-sized is ever shuffled. Set False for the batch≈corpus regime,
     where a plain co-partitioned shuffle join is the right plan anyway.
+
+    ``materialize_keys=True`` localCheckpoints the compact
+    ``(content_key, key_hash)`` projection so the corpus TEXT is scanned
+    and hashed once instead of twice (filter build + exact confirm).
+    ~48 B/row of executor-local storage — the right trade interactively
+    and on clusters with local disk to spare; default off because at
+    10^12 rows the re-scan streams while the checkpoint must be stored.
     """
     key = lambda c: F.md5(F.coalesce(F.col(c), F.lit("")))  # noqa: E731
     corpus_keys = corpus_df.select(
         key(text_col).alias("content_key"),
         F.xxhash64(key(text_col)).alias("key_hash"),
     )
+    if materialize_keys:
+        corpus_keys = corpus_keys.localCheckpoint(eager=True)
     blooms = build_shard_blooms(
         corpus_keys, num_shards, bits_per_shard, num_hashes
     ).localCheckpoint(eager=True)  # tiny (num_shards rows); built exactly once
