@@ -267,6 +267,19 @@ def _q_soft_dedup_weights(spark, sf_dir):
     )
 
 
+def _q_soft_dedup_sample(spark, sf_dir):
+    """The consumer of soft-dedup weights (`operators/sampling.py`
+    `weighted_sample`): per-row deterministic Bernoulli(weight) keyed on
+    the doc id, so each near-dup cluster contributes ~one document of
+    expected mass. Pure codegen'd filter past the weights — decision is
+    a function of (id, seed, weight), bit-identical in the SQL twin."""
+    from rust_gd_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _q_soft_dedup_weights(spark, sf_dir), "id", "weight", seed=7
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -968,7 +981,10 @@ def _q_incremental_clusters(spark, sf_dir):
             state,
             threshold=JACCARD_T,
         )
-    return canonical_clusters(compact_clusters(spark, state))
+    # small_graph_rows=0 pins the distributed large-star/small-star
+    # fixpoint (not the adaptive driver union-find) so the oracle gate
+    # keeps bit-checking the 100 TB code path every round.
+    return canonical_clusters(compact_clusters(spark, state, small_graph_rows=0))
 
 
 def _q_conv_repetition(spark, sf_dir):
@@ -1007,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "ngram_topk": _q_ngram_topk,
         "soft_dedup_weights": _q_soft_dedup_weights,
+        "soft_dedup_sample": _q_soft_dedup_sample,
         "doc_text_stats": _q_text_stats,
         "doc_quality_lang": _q_quality_lang,
         "pii_redaction": _q_pii_redaction,
@@ -1470,6 +1487,8 @@ def _sequence_packing_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rust_gd_spark.operators.sampling import weighted_sample_sql
+
     return {
         "exact_dedup": """
             select doc_id, md5(coalesce(text, '')) as content_key,
@@ -1572,6 +1591,20 @@ def oracle_sql() -> dict[str, str]:
             select c.id, c.cluster_id, s.cluster_size,
                    round(1.0 / s.cluster_size, 6) as weight
             from clus c join sizes s using (cluster_id)
+        """,
+        "soft_dedup_sample": f"""
+            with clus as ({_CLUSTERS_SQL}),
+            sizes as (
+              select cluster_id, count(*) as cluster_size
+              from clus group by cluster_id
+            ),
+            sd as (
+              select c.id, c.cluster_id, s.cluster_size,
+                     round(1.0 / s.cluster_size, 6) as weight
+              from clus c join sizes s using (cluster_id)
+            )
+            select * from sd
+            where {weighted_sample_sql('id', 'weight', 7)}
         """,
         "doc_text_stats": f"""
             select doc_id,

@@ -95,7 +95,9 @@ def _driver_unionfind(pdf) -> "pd.DataFrame":  # noqa: F821
             # union toward the smaller node id so roots stay canonical-ish;
             # the exact min is recomputed below either way
             parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(i) for i in range(len(nodes))])
+    # dtype pinned: an EMPTY edge set (all-singleton corpus) makes the
+    # comprehension produce a float64 array that breaks fancy indexing
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
     comp_min = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(comp_min, roots, nodes)
     return pd.DataFrame({"node": nodes, "component": comp_min[roots]})
@@ -110,16 +112,20 @@ def connected_components(
     """``(node long, component long)`` for every node appearing in ``edges``;
     component = min node id of the connected component.
 
-    ``small_graph_rows`` (or env ``GD_CC_SMALL_GRAPH_ROWS``; default 0 =
-    off) opts into a driver union-find fast path: if the deduped edge set
+    ``small_graph_rows`` (or env ``GD_CC_SMALL_GRAPH_ROWS``; default
+    2_000_000) is an ADAPTIVE threshold, same philosophy as
+    ``spark.sql.autoBroadcastJoinThreshold``: if the deduped edge set
     fits the bound (LIMIT-probed collect — one job, driver memory capped
-    at bound+1 rows), the whole iteration collapses to one numpy
-    union-find — at bench scale the distributed path is ~20 one-task
-    barrier jobs for a rep-level graph of a few thousand edges, all fixed
-    latency. OFF by default so every oracle-checked driver query keeps
-    exercising the distributed fixpoint (the 100 TB path); turn it on for
-    interactive/small-corpus runs. Outputs are contract-identical
-    (equality-tested in tests/test_components.py).
+    at bound+1 rows ≈ 32 MB at the default), the whole iteration
+    collapses to one numpy union-find; otherwise the probe falls through
+    to the distributed fixpoint, so a 100 TB corpus always takes the
+    distributed path. The win is fixed latency, not data volume: at
+    small/interactive scale the distributed path is ~20 one-task barrier
+    jobs for a graph of a few thousand edges. Pass ``0`` to pin the
+    distributed fixpoint (tests/test_plans.py and the
+    ``incremental_clusters`` driver query do, so both paths stay
+    oracle-checked). Outputs are contract-identical (equality-tested in
+    tests/test_components.py).
 
     ``rounds_per_barrier`` star-star rounds are chained LAZILY between
     materializations: a fixpoint of one round is a fixpoint of k rounds, so
@@ -148,11 +154,11 @@ def connected_components(
             f"rounds_per_barrier must be >= 1, got {rounds_per_barrier}"
         )
     if small_graph_rows is None:
-        small_graph_rows = int(os.environ.get("GD_CC_SMALL_GRAPH_ROWS", "0"))
-    if small_graph_rows > 0:
-        probe = (
-            _canon(edges).dropDuplicates().limit(small_graph_rows + 1).toPandas()
+        small_graph_rows = int(
+            os.environ.get("GD_CC_SMALL_GRAPH_ROWS", "2000000")
         )
+    if small_graph_rows > 0:
+        probe = _canon(edges).limit(small_graph_rows + 1).toPandas()
         if len(probe) <= small_graph_rows:
             return edges.sparkSession.createDataFrame(
                 _driver_unionfind(probe),
@@ -184,7 +190,10 @@ def connected_components(
 
 
 def assign_clusters(
-    ids: DataFrame, pair_edges: DataFrame, id_col: str = "id"
+    ids: DataFrame,
+    pair_edges: DataFrame,
+    id_col: str = "id",
+    small_graph_rows: int | None = None,
 ) -> DataFrame:
     """Cluster assignment for EVERY row of ``ids``: ``(id, cluster_id)``.
 
@@ -198,7 +207,7 @@ def assign_clusters(
     edges = pair_edges.select(
         F.xxhash64("id_l").alias("src"), F.xxhash64("id_r").alias("dst")
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, small_graph_rows=small_graph_rows)
     return (
         nodes.join(comp, "node", "left")
         .select(

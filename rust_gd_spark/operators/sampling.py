@@ -63,6 +63,41 @@ def hash_sample_sql(key_expr: str, fraction: float, seed: int = 0) -> str:
     return f"{_digest_sql(key_expr, seed)} < '{hash_threshold(fraction)}'"
 
 
+_U52 = float(1 << 52)  # 13 hex chars = 52 bits — exact in an IEEE double
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, seed: int = 0
+) -> DataFrame:
+    """Per-row deterministic Bernoulli(``weight_col``) — the consumer of
+    `softdedup.soft_dedup_weights`: keep each row with probability equal
+    to its own weight, so a near-dup cluster with weight 1/|cluster|
+    contributes one document of expected mass.
+
+    Decision: ``u < floor(round(weight, 6) · 2^52)`` where ``u`` is the
+    first 13 hex chars of ``md5(key:seed)`` read as an integer — 52 bits,
+    exact in a double, so Spark (``conv``) and the SQL twin
+    (``'0x…'::ubigint``) compute bit-identical keep sets. Same properties
+    as ``hash_sample``: pure function of (key, seed, weight) — stable
+    across retries, partitioning, and engines; one codegen'd filter over
+    the scan, no shuffle. Weights outside [0, 1] clamp naturally
+    (thr ≤ 0 drops the row, thr ≥ 2^52 always keeps it).
+    """
+    u = F.conv(
+        F.substring(_digest(F.col(key_col), seed), 1, 13), 16, 10
+    ).cast("double")
+    thr = F.floor(F.round(F.col(weight_col).cast("double"), 6) * F.lit(_U52))
+    return df.filter(u < thr)
+
+
+def weighted_sample_sql(key_expr: str, weight_expr: str, seed: int = 0) -> str:
+    """WHERE predicate equivalent to ``weighted_sample`` (DuckDB)."""
+    return (
+        f"('0x' || substr({_digest_sql(key_expr, seed)}, 1, 13))::ubigint::double"
+        f" < floor(round(({weight_expr})::double, 6) * {_U52!r})"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -357,7 +357,9 @@ def incremental_dedup_stream(
     return writer.start()
 
 
-def compact_clusters(spark, state_dir: str) -> DataFrame:
+def compact_clusters(
+    spark, state_dir: str, small_graph_rows: int | None = None
+) -> DataFrame:
     """Batch compaction: exact clusters over everything streamed so far.
 
     Exact-dup stars (from ``assignments``) ∪ near-dup edges (from
@@ -376,4 +378,4 @@ def compact_clusters(spark, state_dir: str) -> DataFrame:
     ).select("id_l", "id_r")
     edges = exact_edges.unionByName(near).dropDuplicates(["id_l", "id_r"])
     ids = assigns.select(F.col("uid").alias("id")).dropDuplicates(["id"])
-    return assign_clusters(ids, edges, "id")
+    return assign_clusters(ids, edges, "id", small_graph_rows=small_graph_rows)

@@ -37,6 +37,11 @@ def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _spark_components(spark, edges, **kw) -> dict[int, int]:
+    # Pin the distributed fixpoint unless a test opts into the adaptive
+    # driver union-find: the library default (GD_CC_SMALL_GRAPH_ROWS =
+    # 2M) would route every test-sized graph through the fast path and
+    # leave the 100 TB code path untested.
+    kw.setdefault("small_graph_rows", 0)
     df = spark.createDataFrame(edges, "src long, dst long")
     return {
         r.node: r.component for r in connected_components(df, **kw).collect()
@@ -79,6 +84,12 @@ def test_small_graph_fast_path_matches_distributed(spark, name):
     dist = _spark_components(spark, edges)
     fast = _spark_components(spark, edges, small_graph_rows=10_000)
     assert fast == dist
+
+
+def test_small_graph_empty_edges(spark):
+    # all-singleton corpus: zero edges must yield zero components, not an
+    # IndexError from an empty (hence float64) roots array
+    assert _spark_components(spark, [], small_graph_rows=10) == {}
 
 
 def test_small_graph_over_budget_falls_through(spark):

@@ -108,6 +108,41 @@ def test_hash_sample_deterministic_monotone_unbiased(spark):
     assert other_seed != keep30
 
 
+def test_weighted_sample_semantics_and_parity(spark):
+    # three weight strata: w=1 always kept, w=0 always dropped, w=0.25
+    # kept at ~rate; decision partition-invariant and engine-identical
+    pdf = pd.DataFrame({
+        "doc_id": range(3000),
+        "weight": [(1.0, 0.0, 0.25)[i % 3] for i in range(3000)],
+    })
+    df = spark.createDataFrame(pdf)
+    out = sampling.weighted_sample(df, "doc_id", "weight", seed=7)
+    kept = {r.doc_id for r in out.collect()}
+    kept_re = {r.doc_id for r in sampling.weighted_sample(
+        df.repartition(13), "doc_id", "weight", seed=7).collect()}
+    assert kept == kept_re  # partition-invariant
+    assert all(i in kept for i in range(0, 3000, 3))       # w=1.0
+    assert all(i not in kept for i in range(1, 3000, 3))   # w=0.0
+    frac = sum(1 for i in range(2, 3000, 3) if i in kept) / 1000
+    assert abs(frac - 0.25) < 0.05
+    pred = sampling.weighted_sample_sql("doc_id", "weight", 7)
+    _parity(out, f"select doc_id, weight from docs where {pred}",
+            {"docs": pdf}, "doc_id")
+
+
+def test_weighted_sample_expected_mass_per_cluster(spark):
+    # soft-dedup contract: sum of weights == #clusters, and the kept-set
+    # size concentrates around it
+    pdf = pd.DataFrame({
+        "id": [f"d{i}" for i in range(1200)],
+        "cluster_id": [f"c{i % 400}" for i in range(1200)],  # 400 x size-3
+        "weight": [round(1 / 3, 6)] * 1200,
+    })
+    df = spark.createDataFrame(pdf)
+    kept = sampling.weighted_sample(df, "id", "weight", seed=3).count()
+    assert abs(kept - 400) < 60  # ±3 sigma-ish for Binomial(1200, 1/3)
+
+
 def test_stratified_sample_parity(spark):
     pdf = pd.DataFrame(
         {"doc_id": range(2000), "src": [f"s{i % 3}" for i in range(2000)]}
