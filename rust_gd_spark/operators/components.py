@@ -115,17 +115,18 @@ def connected_components(
     ``small_graph_rows`` (or env ``GD_CC_SMALL_GRAPH_ROWS``; default
     2_000_000) is an ADAPTIVE threshold, same philosophy as
     ``spark.sql.autoBroadcastJoinThreshold``: if the deduped edge set
-    fits the bound (LIMIT-probed collect — one job, driver memory capped
-    at bound+1 rows ≈ 32 MB at the default), the whole iteration
-    collapses to one numpy union-find; otherwise the probe falls through
-    to the distributed fixpoint, so a 100 TB corpus always takes the
-    distributed path. The win is fixed latency, not data volume: at
-    small/interactive scale the distributed path is ~20 one-task barrier
-    jobs for a graph of a few thousand edges. Pass ``0`` to pin the
-    distributed fixpoint (tests/test_plans.py and the
+    fits the bound (LIMIT probe over the already-checkpointed canonical
+    edge set — driver memory capped at bound+1 rows ≈ 32 MB at the
+    default), the whole iteration collapses to one numpy union-find;
+    otherwise the probe falls through to the distributed fixpoint — which
+    REUSES the same checkpoint as its round-0 state, so at 100 TB the
+    probe costs one limit-scan of the checkpoint, never a second
+    evaluation of the upstream edge plan. The win is fixed latency, not
+    data volume: at small/interactive scale the distributed path is ~20
+    one-task barrier jobs for a graph of a few thousand edges. Pass ``0``
+    to pin the distributed fixpoint (tests/test_components.py and the
     ``incremental_clusters`` driver query do, so both paths stay
-    oracle-checked). Outputs are contract-identical (equality-tested in
-    tests/test_components.py).
+    oracle-checked and outputs are equality-tested).
 
     ``rounds_per_barrier`` star-star rounds are chained LAZILY between
     materializations: a fixpoint of one round is a fixpoint of k rounds, so
@@ -157,16 +158,18 @@ def connected_components(
         small_graph_rows = int(
             os.environ.get("GD_CC_SMALL_GRAPH_ROWS", "2000000")
         )
+    cur = _canon(edges).localCheckpoint(eager=True)
     if small_graph_rows > 0:
-        probe = _canon(edges).limit(small_graph_rows + 1).toPandas()
+        # probe the CHECKPOINT, not the plan: under budget the collect is
+        # the whole (small) edge set; over budget it is a cheap limit-scan
+        # and the fixpoint below reuses the same checkpoint — the upstream
+        # edge-producing plan is never evaluated twice
+        probe = cur.limit(small_graph_rows + 1).toPandas()
         if len(probe) <= small_graph_rows:
             return edges.sparkSession.createDataFrame(
                 _driver_unionfind(probe),
                 "node long, component long",
             )
-        # over budget: fall through to the distributed fixpoint
-
-    cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = None
     for it in range(0, max_iter, rounds_per_barrier):
         # clamp the final super-round so exactly max_iter star-rounds run

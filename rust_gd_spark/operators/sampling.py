@@ -44,11 +44,20 @@ def hash_threshold(fraction: float) -> str:
 
 
 def _digest(key_col: Column, seed: int) -> Column:
-    return F.md5(F.concat_ws(":", key_col.cast("string"), F.lit(str(seed))))
+    # coalesce, not concat_ws NULL-skipping: concat_ws would hash a NULL
+    # key to md5('<seed>') while the SQL twin's `||` nulls out and DROPS
+    # the row — the engines must agree. (NULL keys all share one digest
+    # either way — key-hash sampling is degenerate on non-unique keys;
+    # callers key on a unique id.)
+    return F.md5(
+        F.concat(
+            F.coalesce(key_col.cast("string"), F.lit("")), F.lit(f":{seed}")
+        )
+    )
 
 
 def _digest_sql(key_expr: str, seed: int) -> str:
-    return f"md5({key_expr}::varchar || ':' || '{seed}')"
+    return f"md5(coalesce({key_expr}::varchar, '') || ':' || '{seed}')"
 
 
 def hash_sample(
@@ -67,34 +76,53 @@ _U52 = float(1 << 52)  # 13 hex chars = 52 bits — exact in an IEEE double
 
 
 def weighted_sample(
-    df: DataFrame, key_col: str, weight_col: str, seed: int = 0
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    seed: int = 0,
+    precision: int | None = 6,
 ) -> DataFrame:
     """Per-row deterministic Bernoulli(``weight_col``) — the consumer of
     `softdedup.soft_dedup_weights`: keep each row with probability equal
     to its own weight, so a near-dup cluster with weight 1/|cluster|
     contributes one document of expected mass.
 
-    Decision: ``u < floor(round(weight, 6) · 2^52)`` where ``u`` is the
-    first 13 hex chars of ``md5(key:seed)`` read as an integer — 52 bits,
-    exact in a double, so Spark (``conv``) and the SQL twin
+    Decision: ``u < floor(round(weight, precision) · 2^52)`` where ``u``
+    is the first 13 hex chars of ``md5(key:seed)`` read as an integer —
+    52 bits, exact in a double, so Spark (``conv``) and the SQL twin
     (``'0x…'::ubigint``) compute bit-identical keep sets. Same properties
     as ``hash_sample``: pure function of (key, seed, weight) — stable
     across retries, partitioning, and engines; one codegen'd filter over
     the scan, no shuffle. Weights outside [0, 1] clamp naturally
     (thr ≤ 0 drops the row, thr ≥ 2^52 always keeps it).
+
+    ``precision=6`` is the repo-wide oracle doctrine (both engines agree
+    on a 6-dp round) — but it quantizes at 1e-6, so a weight below 5e-7
+    (a near-dup cluster with > 2M members) rounds to 0 and would drop
+    EVERY member, worse than hard dedup's keep-one. For mega-cluster
+    corpora pass ``precision=None``: the raw double is used, which is
+    still engine-identical whenever both engines derive the weight by
+    the same arithmetic (e.g. ``1.0 / count``, one IEEE division).
     """
     u = F.conv(
         F.substring(_digest(F.col(key_col), seed), 1, 13), 16, 10
     ).cast("double")
-    thr = F.floor(F.round(F.col(weight_col).cast("double"), 6) * F.lit(_U52))
-    return df.filter(u < thr)
+    w = F.col(weight_col).cast("double")
+    if precision is not None:
+        w = F.round(w, precision)
+    return df.filter(u < F.floor(w * F.lit(_U52)))
 
 
-def weighted_sample_sql(key_expr: str, weight_expr: str, seed: int = 0) -> str:
+def weighted_sample_sql(
+    key_expr: str, weight_expr: str, seed: int = 0, precision: int | None = 6
+) -> str:
     """WHERE predicate equivalent to ``weighted_sample`` (DuckDB)."""
+    w = f"({weight_expr})::double"
+    if precision is not None:
+        w = f"round({w}, {precision})"
     return (
         f"('0x' || substr({_digest_sql(key_expr, seed)}, 1, 13))::ubigint::double"
-        f" < floor(round(({weight_expr})::double, 6) * {_U52!r})"
+        f" < floor({w} * {_U52!r})"
     )
 
 

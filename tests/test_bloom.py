@@ -131,6 +131,17 @@ def test_anti_join_shuffle_fallback_matches(spark, corpus_df, new_df):
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
 
 
+def test_anti_join_materialized_keys_matches(spark, corpus_df, new_df):
+    # checkpointing the compact key projection must not change the result
+    from rust_gd_spark.operators.bloom import bloom_anti_join
+
+    a = bloom_anti_join(new_df, corpus_df, materialize_keys=False,
+                        num_shards=4, bits_per_shard=1 << 14, num_hashes=4)
+    b = bloom_anti_join(new_df, corpus_df, materialize_keys=True,
+                        num_shards=4, bits_per_shard=1 << 14, num_hashes=4)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
 def test_empty_sides(spark, corpus_df, new_df):
     from rust_gd_spark.operators.bloom import bloom_anti_join
 

@@ -130,6 +130,43 @@ def test_weighted_sample_semantics_and_parity(spark):
             {"docs": pdf}, "doc_id")
 
 
+def test_weighted_sample_null_key_engine_parity(spark):
+    # NULL keys: Spark and DuckDB must make the SAME decision (all NULL
+    # keys share one digest; the twin must not silently drop them)
+    pdf = pd.DataFrame({"doc_id": [None, None, "a", "b"],
+                        "weight": [1.0, 0.0, 1.0, 1.0]})
+    df = spark.createDataFrame(pdf)
+    out = sampling.weighted_sample(df, "doc_id", "weight", seed=7)
+    pred = sampling.weighted_sample_sql("doc_id", "weight", 7)
+    got = {(r.doc_id, r.weight) for r in out.collect()}
+    want = {
+        (k, w) for k, w in _duck(
+            f"select doc_id, weight from docs where {pred}", {"docs": pdf}
+        ).itertuples(index=False)
+    }
+    assert got == want
+    assert out.filter("doc_id is null and weight = 1.0").count() == 1
+
+
+def test_weighted_sample_precision_none_mega_cluster(spark):
+    # precision=6 zeroes weights below 5e-7 (clusters > 2M members —
+    # would drop EVERY member); precision=None must keep the raw double,
+    # bit-identically in both engines
+    n = 2000
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(n)],
+                        "weight": [1.0 / 3_000_000] * n})
+    df = spark.createDataFrame(pdf)
+    assert sampling.weighted_sample(df, "doc_id", "weight").count() == 0
+    out = sampling.weighted_sample(df, "doc_id", "weight", precision=None)
+    pred = sampling.weighted_sample_sql("doc_id", "weight", 0, precision=None)
+    _parity(out, f"select doc_id, weight from docs where {pred}",
+            {"docs": pdf}, "doc_id")
+    # thr is now nonzero: P(keep) = 3.3e-7 per row — sampling 2000 rows
+    # almost surely keeps none, but the threshold itself must be > 0
+    thr = __import__("math").floor((1.0 / 3_000_000) * 2.0 ** 52)
+    assert thr > 0
+
+
 def test_weighted_sample_expected_mass_per_cluster(spark):
     # soft-dedup contract: sum of weights == #clusters, and the kept-set
     # size concentrates around it
