@@ -450,6 +450,72 @@ def _q_sequence_packing(spark, sf_dir):
     )
 
 
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+TFIDF_K = 3
+EXACT_K = 7
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Sliding-window context chunking (`operators/chunking.py`): size-32
+    token windows every 24 tokens — zero shuffles, pure Catalyst array
+    expressions; empty docs yield one empty chunk (the reference
+    chunker's zero-length rule, `src/gd_byte_unit.rs:44-49`)."""
+    from rust_gd_spark.operators.chunking import chunk_by_tokens
+
+    return chunk_by_tokens(
+        _docs(spark, sf_dir), "doc_id", "text",
+        size=CHUNK_SIZE, stride=CHUNK_STRIDE,
+    ).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_text", "chunk_tokens"
+    )
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Incremental-corpus snapshot diff (`operators/snapshot.py`): both
+    snapshots derived deterministically from `documents` — old drops
+    doc_id % 11 == 3 (those become `added`), new drops doc_id % 13 == 5
+    (`removed`) and appends an edit marker on doc_id % 7 == 2
+    (`changed`). One narrow full-outer join on id."""
+    from rust_gd_spark.operators.snapshot import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 11 != 3)
+    new = d.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2, F.concat(F.coalesce("text", F.lit("")), F.lit(" [edit]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "status", "old_key", "new_key"
+    )
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-document TF-IDF top-k keywords (`operators/tfidf.py`): two
+    partial-agg shuffles over the exploded token stream + a broadcast
+    1-row N + WindowGroupLimit top-k; score = tf·ln(N/df) at 6 dp with a
+    total-order tie-break."""
+    from rust_gd_spark.operators.tfidf import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=TFIDF_K).select(
+        F.col("id").alias("doc_id"), "term", "tf", "doc_freq", "score"
+    )
+
+
+def _q_exact_k_sample(spark, sf_dir):
+    """Fixed-size per-stratum sample (`operators/sampling.py
+    exact_k_sample`): exactly k docs per source by md5-digest rank —
+    deterministic across retries/partitioning/engines; the row_number
+    filter compiles to WindowGroupLimit so map tasks pre-select."""
+    from rust_gd_spark.operators.sampling import exact_k_sample
+
+    return exact_k_sample(
+        _docs(spark, sf_dir), "doc_id", "source", k=EXACT_K
+    ).select("doc_id", "source")
+
+
 def _q_dedup_metrics(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.agg(
@@ -1033,6 +1099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "c4_clean": _q_c4_clean,
         "sequence_packing": _q_sequence_packing,
+        "doc_chunks": _q_doc_chunks,
+        "snapshot_diff": _q_snapshot_diff,
+        "tfidf_topk": _q_tfidf_topk,
+        "exact_k_sample": _q_exact_k_sample,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
         "embedding_topk_blocked": _q_embedding_topk_blocked,
@@ -1486,6 +1556,47 @@ def _sequence_packing_oracle_sql() -> str:
     )
 
 
+def _doc_chunks_oracle_sql() -> str:
+    from rust_gd_spark.operators.chunking import chunk_by_tokens_sql
+
+    inner = chunk_by_tokens_sql(
+        "documents", "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE
+    )
+    return f"""
+        select id as doc_id, chunk_idx, chunk_text, chunk_tokens
+        from ({inner})
+    """
+
+
+def _snapshot_diff_oracle_sql() -> str:
+    from rust_gd_spark.operators.snapshot import snapshot_diff_sql
+
+    inner = snapshot_diff_sql(
+        "(select * from documents where doc_id % 11 != 3)",
+        "(select doc_id, case when doc_id % 7 = 2 then "
+        "coalesce(text, '') || ' [edit]' else text end as text "
+        "from documents where doc_id % 13 != 5)",
+    )
+    return f"select id as doc_id, status, old_key, new_key from ({inner})"
+
+
+def _tfidf_oracle_sql() -> str:
+    from rust_gd_spark.operators.tfidf import tfidf_topk_sql
+
+    inner = tfidf_topk_sql("documents", "doc_id", "text", TFIDF_K)
+    return f"""
+        select id as doc_id, term, tf, doc_freq, score from ({inner})
+    """
+
+
+def _exact_k_oracle_sql() -> str:
+    from rust_gd_spark.operators.sampling import exact_k_sample_sql
+
+    return exact_k_sample_sql(
+        "documents", "doc_id", "source", EXACT_K, select="doc_id, source"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from rust_gd_spark.operators.sampling import weighted_sample_sql
 
@@ -1629,6 +1740,10 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _boilerplate_oracle_sql(),
         "c4_clean": _c4_oracle_sql(),
         "sequence_packing": _sequence_packing_oracle_sql(),
+        "doc_chunks": _doc_chunks_oracle_sql(),
+        "snapshot_diff": _snapshot_diff_oracle_sql(),
+        "tfidf_topk": _tfidf_oracle_sql(),
+        "exact_k_sample": _exact_k_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,
                    count(distinct md5(text)) as n_distinct,

@@ -105,11 +105,26 @@ def main() -> None:
     _warmup()
 
     timings: dict[str, float] = {}
+    timings_first: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
+        """Each query runs twice; `queries` records the min (warm
+        steady-state cost), `queries_first_run` the first pass. Rationale
+        (BASELINE.md round-4 session-6): the box's co-tenant ambient
+        oscillates on a 2-3 min period — shorter than a bench run — so a
+        single pass stamps whichever queries hit a trough with 2-6x
+        right-tail noise (measured: the same query read 15.9 s in two
+        both-ends-gated runs and 4.5-4.8 s warm standalone); the first
+        pass also pays per-plan-shape codegen that is not the operator's
+        cost. min-of-2 recovers the quiet steady-state number."""
         t0 = time.monotonic()
         fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        first = time.monotonic() - t0
+        t0 = time.monotonic()
+        fn()
+        second = time.monotonic() - t0
+        timings_first[name] = round(first, 3)
+        timings[name] = round(min(first, second), 3)
 
     q = entrymod.queries()
     timed("exact_dedup", lambda: _force(q["exact_dedup"](spark, sf_dir)))
@@ -125,6 +140,11 @@ def main() -> None:
     timed("ngram_topk", lambda: _force(q["ngram_topk"](spark, sf_dir)))
     timed("soft_dedup_weights",
           lambda: _force(q["soft_dedup_weights"](spark, sf_dir)))
+    # mid-run probe after the heaviest early block: the ambient on this box
+    # oscillates on a 2-3 min period, shorter than a full bench run, so
+    # start/end probes alone cannot certify the middle (measured 08-19: a
+    # both-ends-quiet run carried a 3x trough across exactly this block).
+    triad_gbs_mid = _probe_triad()
     timed("simhash_pairs", lambda: _force(q["simhash_pairs"](spark, sf_dir)))
     timed("simhash_rotation_pairs",
           lambda: _force(q["simhash_rotation_pairs"](spark, sf_dir)))
@@ -168,6 +188,11 @@ def main() -> None:
     timed("c4_clean", lambda: _force(q["c4_clean"](spark, sf_dir)))
     timed("sequence_packing",
           lambda: _force(q["sequence_packing"](spark, sf_dir)))
+    timed("doc_chunks", lambda: _force(q["doc_chunks"](spark, sf_dir)))
+    timed("snapshot_diff", lambda: _force(q["snapshot_diff"](spark, sf_dir)))
+    timed("tfidf_topk", lambda: _force(q["tfidf_topk"](spark, sf_dir)))
+    timed("exact_k_sample",
+          lambda: _force(q["exact_k_sample"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))
@@ -193,7 +218,11 @@ def main() -> None:
 
     t0 = time.monotonic()
     _headline()
-    pipeline_sec = time.monotonic() - t0
+    first = time.monotonic() - t0
+    t0 = time.monotonic()
+    _headline()
+    pipeline_sec = min(first, time.monotonic() - t0)
+    timings_first["near_dup_pipeline"] = round(first, 3)
     timings["near_dup_pipeline"] = round(pipeline_sec, 3)
 
     # same full pipeline under the OPH signature kernel (the recommended
@@ -224,12 +253,14 @@ def main() -> None:
                 "value": round(pipeline_sec, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_run": timings_first,
                 "sf": sf,
                 "rows": n_docs,
                 "throughput_rows_per_sec": round(throughput, 1),
                 "total_sec": total,
                 "cpus": cpus,
                 "triad_gbs": triad_gbs,
+                "triad_gbs_mid": triad_gbs_mid,
                 # post-run re-probe: interference STARTING mid-run would
                 # pass the entry gate but show here
                 "triad_gbs_end": _probe_triad(),

@@ -25,7 +25,7 @@ function of the content key, never of placement.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _HEX_WIDTH = 32  # md5 digest length in hex chars
 _SPACE = 16 ** _HEX_WIDTH
@@ -150,6 +150,59 @@ def stratified_sample(
             F.lit(hash_threshold(frac)),
         ).otherwise(thr)
     return df.filter(_digest(F.col(key_col), seed) < thr)
+
+
+def exact_k_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum (fewer if the stratum is smaller),
+    chosen uniformly and deterministically: rank rows within each stratum
+    by their md5 digest (ties — impossible for distinct keys — broken by
+    the key itself) and keep rank ≤ k.
+
+    The fixed-size counterpart of ``stratified_sample``: eval slices,
+    per-source audit samples, and few-shot pools need "exactly 1,000
+    docs per source", not a fraction. Same determinism properties: the
+    kept set is a pure function of (keys, seed, k) — stable across
+    retries, partitioning, and engines.
+
+    Scale: one shuffle on the stratum key; the ``row_number() ≤ k``
+    filter compiles to WindowGroupLimit (Spark ≥ 3.5), so every map task
+    pre-selects its local top-k per stratum and the shuffle carries
+    O(k · tasks) rows per stratum, not the stratum. (Contrast a global
+    ``ORDER BY digest LIMIT k`` per stratum — a driver-side loop over
+    strata; this is one job regardless of strata count.)
+    """
+    w = Window.partitionBy(F.col(strata_col)).orderBy(
+        _digest(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def exact_k_sample_sql(
+    table: str,
+    key_expr: str,
+    strata_expr: str,
+    k: int,
+    seed: int = 0,
+    select: str = "*",
+) -> str:
+    """DuckDB twin of ``exact_k_sample`` (QUALIFY form)."""
+    return f"""
+        select {select} from {table}
+        qualify row_number() over (
+          partition by {strata_expr}
+          order by {_digest_sql(key_expr, seed)}, {key_expr}
+        ) <= {k}
+    """
 
 
 def mixture_plan(

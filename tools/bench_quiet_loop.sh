@@ -24,7 +24,9 @@ line = """$LINE"""
 d = json.loads(line)
 g = float(sys.argv[1])
 t0, t1 = d.get("triad_gbs") or 0, d.get("triad_gbs_end") or 0
-print("ok" if t0 >= g and t1 >= g else f"degraded {t0} {t1}")
+tm = d.get("triad_gbs_mid")
+tm = t0 if tm is None else tm  # pre-mid-probe artifacts: start stands in
+print("ok" if t0 >= g and t1 >= g and tm >= g else f"degraded {t0} {tm} {t1}")
 PY
 )
   echo "attempt $i: $OKAY (headline $(echo "$LINE" | python -c 'import json,sys; print(json.load(sys.stdin)["value"])'))"
