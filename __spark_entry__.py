@@ -454,6 +454,7 @@ CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 TFIDF_K = 3
 EXACT_K = 7
+DSIR_BUCKETS = 4096
 
 
 def _q_doc_chunks(spark, sf_dir):
@@ -514,6 +515,36 @@ def _q_exact_k_sample(spark, sf_dir):
     return exact_k_sample(
         _docs(spark, sf_dir), "doc_id", "source", k=EXACT_K
     ).select("doc_id", "source")
+
+
+def _q_unigram_xent(spark, sf_dir):
+    """CCNet-style unigram LM cross-entropy per document
+    (`operators/lm.py`): two partial-agg shuffles over the exploded
+    token stream (the (id, term) exchange is reused between tf and the
+    corpus counts), broadcast 1-row token total, per-doc rollup — no
+    Python, no window. Score = -(1/|d|)·Σ tf·ln(ct/T) at 6 dp."""
+    from rust_gd_spark.operators.lm import unigram_xent
+
+    return unigram_xent(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens", "xent"
+    )
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance log-weights (`operators/dsir.py`,
+    Xie et al. NeurIPS'23): bigrams via one narrow window-lead shuffle
+    (all codegen), bucket = 52-bit md5 prefix mod B (the engine-parity
+    trick `weighted_sample` pins), B-row smoothed log-ratio table
+    broadcast onto the per-doc bucket counts. Target = the doc_id%17
+    slice — a deterministic 'domain' whose vocabulary skews the
+    weights; zero-bigram docs keep logw = 0."""
+    from rust_gd_spark.operators.dsir import dsir_logweights
+
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("doc_id") % 17 == 0)
+    return dsir_logweights(
+        d, target, "doc_id", "text", n_buckets=DSIR_BUCKETS
+    ).select(F.col("id").alias("doc_id"), "n_ngrams", "logw")
 
 
 def _q_dedup_metrics(spark, sf_dir):
@@ -1103,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "tfidf_topk": _q_tfidf_topk,
         "exact_k_sample": _q_exact_k_sample,
+        "unigram_xent": _q_unigram_xent,
+        "dsir_weights": _q_dsir_weights,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
         "embedding_topk_blocked": _q_embedding_topk_blocked,
@@ -1597,6 +1630,26 @@ def _exact_k_oracle_sql() -> str:
     )
 
 
+def _unigram_xent_oracle_sql() -> str:
+    from rust_gd_spark.operators.lm import unigram_xent_sql
+
+    inner = unigram_xent_sql("documents", "doc_id", "text")
+    return f"select id as doc_id, n_tokens, xent from ({inner})"
+
+
+def _dsir_oracle_sql() -> str:
+    from rust_gd_spark.operators.dsir import dsir_logweights_sql
+
+    inner = dsir_logweights_sql(
+        "documents",
+        "(select * from documents where doc_id % 17 = 0)",
+        "doc_id",
+        "text",
+        n_buckets=DSIR_BUCKETS,
+    )
+    return f"select id as doc_id, n_ngrams, logw from ({inner})"
+
+
 def oracle_sql() -> dict[str, str]:
     from rust_gd_spark.operators.sampling import weighted_sample_sql
 
@@ -1743,6 +1796,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _doc_chunks_oracle_sql(),
         "snapshot_diff": _snapshot_diff_oracle_sql(),
         "tfidf_topk": _tfidf_oracle_sql(),
+        "unigram_xent": _unigram_xent_oracle_sql(),
+        "dsir_weights": _dsir_oracle_sql(),
         "exact_k_sample": _exact_k_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,
