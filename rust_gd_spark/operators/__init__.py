@@ -25,4 +25,13 @@ Each module is one operator family from SURVEY.md §2 Part B:
 * ``repetition`` — Gopher-style within-document repetition gates.
 * ``sampling``   — deterministic stratified sampling + mixture planning.
 * ``packing``    — context-window sequence packing plans.
+* ``lm``         — unigram-LM cross-entropy scoring (CCNet-style
+                   perplexity quality gate).
+* ``dsir``       — DSIR hashed-bigram importance weights toward a
+                   target distribution (data selection / resampling).
+* ``tfidf``      — per-document TF-IDF top-k keywords.
+* ``chunking``   — sliding-window token chunking.
+* ``snapshot``   — corpus snapshot diff on the exact-dup content key.
+* ``asof``       — backward-inclusive as-of join.
+* ``bloom``      — sharded-Bloom cross-corpus membership prefilter.
 """
