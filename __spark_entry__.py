@@ -455,6 +455,10 @@ CHUNK_STRIDE = 24
 TFIDF_K = 3
 EXACT_K = 7
 DSIR_BUCKETS = 4096
+CDC_DIVISOR = 8  # expected CDC chunk length in tokens (docs avg ~45 tokens)
+CDC_GRAM = 2
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = 7
 
 
 def _q_doc_chunks(spark, sf_dir):
@@ -545,6 +549,56 @@ def _q_dsir_weights(spark, sf_dir):
     return dsir_logweights(
         d, target, "doc_id", "text", n_buckets=DSIR_BUCKETS
     ).select(F.col("id").alias("doc_id"), "n_ngrams", "logw")
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (`operators/cdc.py`): variable-size token
+    chunks cut where the 52-bit md5 of the trailing 2-gram ≡ 0 (mod 8) —
+    boundaries move with the content, so an insertion perturbs one chunk
+    instead of shifting every later one (the failure mode of the
+    reference's fixed chunker, `src/gd_byte_unit.rs:42-65`). Zero
+    shuffles: all Catalyst array expressions over the scan."""
+    from rust_gd_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(
+        _docs(spark, sf_dir), "doc_id", "text",
+        divisor=CDC_DIVISOR, gram=CDC_GRAM,
+    ).select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx", "chunk_text", "chunk_tokens", "chunk_hash",
+    )
+
+
+def _q_cdc_chunk_store(spark, sf_dir):
+    """The corpus chunk dictionary over the CDC chunks (`operators/
+    cdc.py`): per distinct chunk, copies/doc counts and the canonical
+    first occurrence via a single min(id·10⁹+idx) integer total order —
+    one partial-agg shuffle, the GD dictionary (`src/dict.rs:38-63`) as
+    a relational rollup."""
+    from rust_gd_spark.operators.cdc import cdc_chunk_store, cdc_chunks
+
+    c = cdc_chunks(
+        _docs(spark, sf_dir), "doc_id", "text",
+        divisor=CDC_DIVISOR, gram=CDC_GRAM,
+    )
+    return cdc_chunk_store(c).select(
+        "chunk_hash", "n_copies", "n_docs", "chunk_tokens",
+        "first_id", "first_chunk_idx",
+    )
+
+
+def _q_training_shuffle(spark, sf_dir):
+    """Deterministic global shuffle into shards (`operators/sampling.py
+    training_shuffle`): shard = 52-bit md5 % n, pos = within-shard digest
+    rank — the pretraining example-order randomization, reproducible
+    across retries/partitioning/engines. One shuffle on the balanced
+    shard key; no global total order anywhere."""
+    from rust_gd_spark.operators.sampling import training_shuffle
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return training_shuffle(
+        d, "doc_id", n_shards=SHUFFLE_SHARDS, seed=SHUFFLE_SEED
+    ).select("doc_id", "shard", "pos")
 
 
 def _q_dedup_metrics(spark, sf_dir):
@@ -1136,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_k_sample": _q_exact_k_sample,
         "unigram_xent": _q_unigram_xent,
         "dsir_weights": _q_dsir_weights,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_chunk_store": _q_cdc_chunk_store,
+        "training_shuffle": _q_training_shuffle,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
         "embedding_topk_blocked": _q_embedding_topk_blocked,
@@ -1601,6 +1658,42 @@ def _doc_chunks_oracle_sql() -> str:
     """
 
 
+def _cdc_chunks_oracle_sql() -> str:
+    from rust_gd_spark.operators.cdc import cdc_chunks_sql
+
+    inner = cdc_chunks_sql("documents", "doc_id", "text", CDC_DIVISOR, CDC_GRAM)
+    return f"""
+        select id as doc_id, chunk_idx, chunk_text, chunk_tokens, chunk_hash
+        from ({inner})
+    """
+
+
+def _cdc_chunk_store_oracle_sql() -> str:
+    from rust_gd_spark.operators.cdc import cdc_chunks_sql
+
+    inner = cdc_chunks_sql("documents", "doc_id", "text", CDC_DIVISOR, CDC_GRAM)
+    return f"""
+        select chunk_hash,
+               count(*)::bigint as n_copies,
+               count(distinct id)::bigint as n_docs,
+               min(chunk_tokens)::bigint as chunk_tokens,
+               (min(id::bigint * 1000000000 + chunk_idx) // 1000000000)::bigint
+                 as first_id,
+               (min(id::bigint * 1000000000 + chunk_idx) % 1000000000)::bigint
+                 as first_chunk_idx
+        from ({inner})
+        group by chunk_hash
+    """
+
+
+def _training_shuffle_oracle_sql() -> str:
+    from rust_gd_spark.operators.sampling import training_shuffle_sql
+
+    return training_shuffle_sql(
+        "documents", "doc_id", "doc_id", SHUFFLE_SHARDS, SHUFFLE_SEED
+    )
+
+
 def _snapshot_diff_oracle_sql() -> str:
     from rust_gd_spark.operators.snapshot import snapshot_diff_sql
 
@@ -1799,6 +1892,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_xent": _unigram_xent_oracle_sql(),
         "dsir_weights": _dsir_oracle_sql(),
         "exact_k_sample": _exact_k_oracle_sql(),
+        "cdc_chunks": _cdc_chunks_oracle_sql(),
+        "cdc_chunk_store": _cdc_chunk_store_oracle_sql(),
+        "training_shuffle": _training_shuffle_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,
                    count(distinct md5(text)) as n_distinct,

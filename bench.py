@@ -193,6 +193,13 @@ def main() -> None:
     timed("tfidf_topk", lambda: _force(q["tfidf_topk"](spark, sf_dir)))
     timed("exact_k_sample",
           lambda: _force(q["exact_k_sample"](spark, sf_dir)))
+    timed("unigram_xent", lambda: _force(q["unigram_xent"](spark, sf_dir)))
+    timed("dsir_weights", lambda: _force(q["dsir_weights"](spark, sf_dir)))
+    timed("cdc_chunks", lambda: _force(q["cdc_chunks"](spark, sf_dir)))
+    timed("cdc_chunk_store",
+          lambda: _force(q["cdc_chunk_store"](spark, sf_dir)))
+    timed("training_shuffle",
+          lambda: _force(q["training_shuffle"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))

@@ -34,4 +34,5 @@ Each module is one operator family from SURVEY.md §2 Part B:
 * ``snapshot``   — corpus snapshot diff on the exact-dup content key.
 * ``asof``       — backward-inclusive as-of join.
 * ``bloom``      — sharded-Bloom cross-corpus membership prefilter.
+* ``cdc``        — content-defined chunking + chunk-store dedup.
 """

@@ -1,0 +1,228 @@
+"""Content-defined chunking (CDC) + chunk-store deduplication.
+
+The storage-dedup generalization of the reference engine's chunker: the
+reference splits the stream at FIXED byte offsets (`src/gd_byte_unit.rs:
+42-65`), so inserting one byte shifts every later chunk boundary and
+kills all downstream dictionary hits. Content-defined chunking (the
+Rabin / LBFS / FastCDC family) instead cuts wherever a rolling hash of
+the local content crosses a threshold — boundaries move WITH the
+content, so an insertion perturbs only the chunk it lands in and the
+chunk dictionary (`src/dict.rs:38-63`) keeps matching everything else.
+This module is that idea at token granularity over a document corpus:
+
+* ``cdc_chunks`` — variable-size chunks cut after any token whose
+  trailing ``gram``-token window hashes to ``0 (mod divisor)``; expected
+  chunk length = ``divisor`` tokens (geometric).
+* ``cdc_chunk_store`` — the corpus-wide chunk dictionary: per distinct
+  chunk, occurrence/document counts and the canonical first occurrence
+  (the row a GD-style store would keep; every other copy is an id
+  reference, `src/dict.rs:50-63`).
+* ``cdc_dedup_ratio`` — the reference's dedup-rate observability
+  (`src/lib.rs:131-135`) at corpus scale: stored tokens / raw tokens.
+
+Engine parity: the cut decision is the repo's 52-bit md5-prefix integer
+(see ``sampling.weighted_sample``) — ``conv(substr(md5(gram),1,13),16,10)
+% divisor`` in Spark equals ``('0x'||substr(md5(gram),1,13))::ubigint %
+divisor`` in DuckDB bit-for-bit, so the whole operator has an exact SQL
+twin (``cdc_chunks_sql``).
+
+Scale design (10⁹+ documents):
+
+* Chunking itself is ZERO shuffles — cut positions, chunk starts/ends,
+  and chunk texts are Catalyst array expressions over the scan (same
+  shape as ``chunking.py``); per-token cost is one md5 over a short
+  gram, JVM-side, no Python.
+* The chunk store is ONE partial-agg shuffle over narrow
+  ``(chunk_hash, ord)`` rows (map-side combine collapses within-doc and
+  within-partition repeats before the exchange); the join back to tag
+  canonical rows reuses the hash key.
+* Unlike FastCDC we impose no min/max chunk bounds — those make the cut
+  decision stateful (a cut suppressed by the min bound shifts every
+  later decision), which breaks both the SQL twin and parallel
+  evaluation. The cost is a geometric size tail:
+  P(chunk > c·divisor) ≈ e^-c, so a 20·divisor chunk appears once per
+  ~5·10⁸ cut decisions — at 100 TB a handful of long chunks, not a skew
+  hazard (chunks never become join keys here; only their hashes do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .minhash import tokenize
+
+# Canonical-occurrence total order: ord = id·ORD_BASE + chunk_idx. Exact
+# in int64 for any corpus with ids < 2^63/ORD_BASE and documents shorter
+# than ORD_BASE chunks; both engines compute it in integer arithmetic.
+_ORD_BASE = 1_000_000_000
+
+
+def _cut_u52(gram_text: Column) -> Column:
+    """52-bit integer from the md5 prefix of a gram — the engine-parity
+    uniform hash (13 hex chars are exact in an IEEE double AND a BIGINT,
+    so Spark and DuckDB agree bit-for-bit)."""
+    return F.conv(F.substring(F.md5(gram_text), 1, 13), 16, 10).cast("long")
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 32,
+    gram: int = 2,
+) -> DataFrame:
+    """``(id, chunk_idx, chunk_text, chunk_tokens, chunk_hash)`` —
+    content-defined variable-size token chunks.
+
+    A cut happens AFTER token ``i`` (1-based, ``i < n``) iff the 52-bit
+    md5 integer of the space-joined window ``tokens[max(i-gram+1,1)..i]``
+    is ``0 (mod divisor)``. The final token never cuts (the document end
+    is the implicit last boundary). An empty/NULL document tokenizes to
+    one empty token and yields exactly one empty chunk — the reference's
+    zero-length-input rule (`src/gd_byte_unit.rs:44-49`).
+
+    Normalization is byte-identical to the MinHash shingler, so chunk
+    hashes and document-level near-dup signatures describe the same
+    token stream.
+    """
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    if gram < 1:
+        raise ValueError(f"gram must be >= 1, got {gram}")
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+
+    def is_cut(i):
+        gs = F.greatest(i - (gram - 1), F.lit(1))
+        gram_text = F.concat_ws(" ", F.slice(toks, gs, i - gs + 1))
+        return _cut_u52(gram_text) % divisor == 0
+
+    # sequence(1, 0) in Spark DESCENDS ([1, 0]) instead of being empty —
+    # guard single-token/empty docs explicitly.
+    cuts = F.when(
+        n >= 2, F.filter(F.sequence(F.lit(1), n - 1), is_cut)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1))
+    ends = F.concat(cuts, F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, e - s + 1)).alias("txt"),
+            (e - s + 1).cast("long").alias("ntok"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "c"),
+    ).select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.txt").alias("chunk_text"),
+        F.col("c.ntok").alias("chunk_tokens"),
+        F.md5("c.txt").alias("chunk_hash"),
+    )
+
+
+def cdc_chunk_store(chunks: DataFrame) -> DataFrame:
+    """The corpus chunk dictionary: one row per distinct chunk with
+    ``(chunk_hash, n_copies, n_docs, chunk_tokens, first_id,
+    first_chunk_idx)`` — ``first_*`` is the lexicographically smallest
+    ``(id, chunk_idx)`` occurrence, the copy a dedup store keeps.
+
+    One partial-agg shuffle on ``chunk_hash``; the canonical pick rides
+    the same aggregate as ``min(ord)`` (integer total order), the
+    repo-wide single-shuffle survivorship pattern
+    (``pipeline.cluster_representatives``)."""
+    ord_col = F.col("id").cast("long") * _ORD_BASE + F.col("chunk_idx")
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("id").alias("n_docs"),
+            # min, not first: same value for every copy (same hash ⇒ same
+            # text), but min is deterministic and oracle-reproducible
+            F.min("chunk_tokens").alias("chunk_tokens"),
+            F.min(ord_col).alias("_ord"),
+        )
+        .select(
+            "chunk_hash",
+            "n_copies",
+            "n_docs",
+            "chunk_tokens",
+            # `div` = exact int64 division (a double `/` would round past
+            # 2^53 for large ids)
+            F.expr(f"_ord div {_ORD_BASE}").alias("first_id"),
+            (F.col("_ord") % _ORD_BASE).alias("first_chunk_idx"),
+        )
+    )
+
+
+def cdc_dedup_ratio(chunks: DataFrame) -> DataFrame:
+    """One-row corpus metric — the reference's printed dedup rate
+    (`src/lib.rs:131-135`) in relational form: raw token volume vs the
+    chunk store's (store = one copy per distinct chunk)."""
+    store = cdc_chunk_store(chunks)
+    totals = chunks.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum("chunk_tokens").alias("total_tokens"),
+    )
+    kept = store.agg(
+        F.count(F.lit(1)).alias("unique_chunks"),
+        F.sum("chunk_tokens").alias("store_tokens"),
+    )
+    return totals.crossJoin(kept).select(
+        "total_chunks",
+        "unique_chunks",
+        "total_tokens",
+        "store_tokens",
+        F.round(F.col("store_tokens") / F.col("total_tokens"), 6).alias(
+            "dedup_ratio"
+        ),
+    )
+
+
+def cdc_chunks_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    divisor: int,
+    gram: int,
+) -> str:
+    """DuckDB twin of ``cdc_chunks`` — same normalization, same 52-bit
+    cut hash, same start/end arithmetic. ``range(1, n)`` is half-open
+    (empty for n ≤ 1), matching the Spark guard."""
+    norm = (
+        f"trim(regexp_replace(lower(coalesce({text_expr}, '')),"
+        f" '[^a-z0-9]+', ' ', 'g'))"
+    )
+    return f"""
+        with t as (
+          select {id_expr} as id,
+                 string_split_regex({norm}, '\\s+') as toks
+          from {table}
+        ),
+        n as (select id, toks, len(toks) as n_tok from t),
+        c as (
+          select id, toks, n_tok,
+                 list_filter(range(1, n_tok), i ->
+                   ('0x' || substr(md5(array_to_string(
+                      list_slice(toks, greatest(i - {gram - 1}, 1), i), ' ')),
+                      1, 13))::ubigint % {divisor} = 0) as cuts
+          from n
+        ),
+        b as (
+          select id, toks,
+                 list_prepend(1, list_transform(cuts, c -> c + 1)) as starts,
+                 list_append(cuts, n_tok) as ends
+          from c
+        )
+        select id,
+               (k - 1)::bigint as chunk_idx,
+               array_to_string(list_slice(toks, starts[k], ends[k]), ' ')
+                 as chunk_text,
+               (ends[k] - starts[k] + 1)::bigint as chunk_tokens,
+               md5(array_to_string(list_slice(toks, starts[k], ends[k]), ' '))
+                 as chunk_hash
+        from b, unnest(range(1, len(starts) + 1)) as u(k)
+    """

@@ -295,3 +295,58 @@ def stratified_sample_sql(
     )
     case = f"case {arms} else '{hash_threshold(default_fraction)}' end"
     return f"{_digest_sql(key_expr, seed)} < {case}"
+
+
+def training_shuffle(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """``(…input cols…, shard, pos)`` — deterministic global shuffle of a
+    training corpus into ``n_shards`` randomly-ordered shards (the
+    example-order randomization every pretraining loader needs; Meng et
+    al.'s "shuffle the corpus once, stream shards sequentially" layout).
+
+    Each row's shard and within-shard position are pure functions of
+    ``(key, seed)``: ``u = 52-bit md5 integer of key:seed``; ``shard =
+    u % n_shards``; ``pos`` = the row's 1-based rank within its shard
+    ordered by the full 32-hex digest (hex string order = numeric order
+    on the 128-bit space), key as tie-break. Re-running with the same
+    seed on any partitioning/cluster size reproduces the identical
+    layout (a resumed 100 TB job re-emits byte-identical shards); a new
+    seed is a fresh permutation.
+
+    Scale: a GLOBAL total order (one row_number over everything) cannot
+    scale — this is the standard decomposition: the digest randomizes
+    ACROSS shards, the within-shard sort randomizes WITHIN, and
+    ``sortWithinPartitions`` semantics come from one shuffle on
+    ``shard`` (hash-balanced by construction: shard sizes are Binomial
+    (n, 1/n_shards), so AQE sees near-equal partitions). Writers then
+    emit ``partitionBy(shard)`` files whose row order IS ``pos``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    dig = _digest(F.col(key_col), seed)
+    u = F.conv(F.substring(dig, 1, 13), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("_dig", key_col)
+    return (
+        df.withColumn("shard", (u % n_shards).cast("int"))
+        .withColumn("_dig", dig)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_dig")
+    )
+
+
+def training_shuffle_sql(
+    table: str, key_expr: str, cols: str, n_shards: int, seed: int = 0
+) -> str:
+    """DuckDB twin of ``training_shuffle`` over ``table``, projecting
+    ``cols`` alongside ``shard``/``pos``."""
+    dig = _digest_sql(key_expr, seed)
+    u = f"(('0x' || substr({dig}, 1, 13))::ubigint % {n_shards})"
+    return f"""
+        select {cols},
+               {u}::int as shard,
+               row_number() over (
+                 partition by {u} order by {dig}, {key_expr}
+               )::bigint as pos
+        from {table}
+    """

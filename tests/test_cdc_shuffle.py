@@ -1,0 +1,216 @@
+"""Round-4 session-8 operators: content-defined chunking + chunk store,
+deterministic training shuffle."""
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks
+# ---------------------------------------------------------------------------
+
+def _doc(seed: int, n: int) -> str:
+    # aperiodic token stream (quadratic mod a prime): no repeated 2-grams
+    # within or across seeds, so chunk-hash collisions can only come from
+    # actual boundary behavior, never fixture periodicity
+    return " ".join(
+        f"w{(seed * 1_000_003 + (i + 1) * (i + 2) * 7919) % 99991}"
+        for i in range(n)
+    )
+
+
+@pytest.fixture(scope="module")
+def cdc_docs(spark):
+    rows = [
+        Row(doc_id=0, text=_doc(0, 60)),
+        Row(doc_id=1, text=_doc(1, 45)),
+        Row(doc_id=2, text=_doc(0, 60)),              # exact dup of doc 0
+        Row(doc_id=3, text="zulu " + _doc(0, 60)),    # doc 0, 1 token prepended
+        Row(doc_id=4, text=""),                       # empty
+        Row(doc_id=5, text=None),                     # NULL
+        Row(doc_id=6, text="single"),                 # 1 token, no cut slots
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def cdc_out(spark, cdc_docs):
+    from rust_gd_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(cdc_docs, "doc_id", "text", divisor=4, gram=2).collect()
+
+
+def _by_doc(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.id, []).append(r)
+    for v in out.values():
+        v.sort(key=lambda r: r.chunk_idx)
+    return out
+
+
+def test_cdc_roundtrip_and_edges(cdc_out):
+    """Chunks re-concatenate to the normalized text — the reference's
+    dup(dedup(x)) == x invariant (src/lib.rs:130) at chunk granularity."""
+    by_doc = _by_doc(cdc_out)
+    assert " ".join(r.chunk_text for r in by_doc[0]) == _doc(0, 60)
+    assert sum(r.chunk_tokens for r in by_doc[0]) == 60
+    # chunk_idx is dense 0..n-1
+    assert [r.chunk_idx for r in by_doc[0]] == list(range(len(by_doc[0])))
+    # divisor 4 over 60 tokens: expect roughly 60/4 cuts; demand >= 2
+    # chunks so the fixture actually exercises cutting
+    assert len(by_doc[0]) >= 2
+    # empty / NULL / single-token docs: exactly one chunk, never cut
+    for d in (4, 5):
+        (c,) = by_doc[d]
+        assert c.chunk_text == "" and c.chunk_tokens == 1
+    (c6,) = by_doc[6]
+    assert c6.chunk_text == "single" and c6.chunk_tokens == 1
+    # chunk_hash is md5 of the chunk text
+    r0 = by_doc[0][0]
+    assert r0.chunk_hash == hashlib.md5(r0.chunk_text.encode()).hexdigest()
+
+
+def test_cdc_boundaries_are_content_defined(cdc_out):
+    """The property fixed-size chunking lacks (and the reason CDC exists):
+    an identical document chunks identically, and a PREPENDED token only
+    perturbs the first chunk(s) — every chunk after the first re-synced
+    cut point is byte-identical."""
+    by_doc = _by_doc(cdc_out)
+    # exact duplicate -> identical chunk sequence
+    assert [r.chunk_hash for r in by_doc[0]] == [r.chunk_hash for r in by_doc[2]]
+    # prepended token: all but the first original chunk survive (the cut
+    # decisions depend only on the trailing 2-gram, which the prepended
+    # token changes for the first position only)
+    h0 = [r.chunk_hash for r in by_doc[0]]
+    h3 = set(r.chunk_hash for r in by_doc[3])
+    shared = sum(1 for h in h0[1:] if h in h3)
+    # every chunk after the first aligned cut point survives; only the
+    # first chunk (and the second, iff doc 0 cut immediately after token
+    # 1) can differ — the guarantee fixed-size chunking cannot give
+    assert shared >= len(h0) - 2
+    assert shared >= 3  # the fixture really exercises re-syncing
+    # ...whereas doc 1 (different content) shares nothing
+    h1 = set(r.chunk_hash for r in by_doc[1])
+    assert not h1 & set(h0)
+
+
+def test_cdc_matches_duckdb_twin(spark, cdc_docs, cdc_out):
+    from rust_gd_spark.operators.cdc import cdc_chunks_sql
+
+    pdf = cdc_docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    got = con.execute(
+        cdc_chunks_sql("docs", "doc_id", "text", divisor=4, gram=2)
+    ).fetchall()
+    spark_set = {
+        (r.id, r.chunk_idx, r.chunk_text, r.chunk_tokens, r.chunk_hash)
+        for r in cdc_out
+    }
+    assert {tuple(r) for r in got} == spark_set
+
+
+def test_cdc_chunk_store_and_ratio(spark, cdc_docs):
+    from rust_gd_spark.operators.cdc import (
+        cdc_chunk_store,
+        cdc_chunks,
+        cdc_dedup_ratio,
+    )
+
+    chunks = cdc_chunks(cdc_docs, "doc_id", "text", divisor=4, gram=2)
+    store = {r.chunk_hash: r for r in cdc_chunk_store(chunks).collect()}
+    rows = chunks.collect()
+    # every chunk of dup-doc 2 has >= 2 copies and canonical first_id 0
+    for r in rows:
+        if r.id == 2:
+            s = store[r.chunk_hash]
+            assert s.n_copies >= 2 and s.n_docs >= 2
+            assert s.first_id == 0
+    # canonical occurrence really is the lexicographic minimum
+    for h, s in store.items():
+        occs = sorted((r.id, r.chunk_idx) for r in rows if r.chunk_hash == h)
+        assert (s.first_id, s.first_chunk_idx) == occs[0]
+    m = cdc_dedup_ratio(chunks).collect()[0]
+    assert m.total_chunks == len(rows)
+    assert m.unique_chunks == len(store)
+    assert m.store_tokens < m.total_tokens  # dup doc deduplicates
+    assert 0.0 < m.dedup_ratio < 1.0
+
+
+def test_cdc_validates_params(spark, cdc_docs):
+    from rust_gd_spark.operators.cdc import cdc_chunks
+
+    with pytest.raises(ValueError):
+        cdc_chunks(cdc_docs, "doc_id", "text", divisor=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(cdc_docs, "doc_id", "text", gram=0)
+
+
+# ---------------------------------------------------------------------------
+# training_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_training_shuffle_layout_and_determinism(spark):
+    from rust_gd_spark.operators.sampling import training_shuffle
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    out = training_shuffle(df, "k", n_shards=4, seed=1).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) == 4
+    for rows in by_shard.values():
+        # pos is a dense 1..n permutation within the shard
+        assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+    # partition-invariance: same layout from a different partitioning
+    out2 = training_shuffle(
+        df.repartition(13), "k", n_shards=4, seed=1
+    ).collect()
+    assert {(r.k, r.shard, r.pos) for r in out} == {
+        (r.k, r.shard, r.pos) for r in out2
+    }
+    # a different seed is a different permutation
+    out3 = training_shuffle(df, "k", n_shards=4, seed=2).collect()
+    assert {(r.k, r.shard, r.pos) for r in out} != {
+        (r.k, r.shard, r.pos) for r in out3
+    }
+    # the shuffle actually shuffles: within a shard, consecutive pos
+    # do not follow key order
+    s0 = sorted(by_shard[0], key=lambda r: r.pos)
+    keys = [r.k for r in s0]
+    assert keys != sorted(keys)
+
+
+def test_training_shuffle_matches_duckdb_twin(spark):
+    from rust_gd_spark.operators.sampling import (
+        training_shuffle,
+        training_shuffle_sql,
+    )
+
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    got_spark = {
+        (r.k, r.shard, r.pos)
+        for r in training_shuffle(df, "k", n_shards=5, seed=9).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got_sql = {
+        tuple(r)
+        for r in con.execute(
+            training_shuffle_sql("t", "k", "k", n_shards=5, seed=9)
+        ).fetchall()
+    }
+    assert got_spark == got_sql
+
+
+def test_training_shuffle_validates_params(spark):
+    from rust_gd_spark.operators.sampling import training_shuffle
+
+    with pytest.raises(ValueError):
+        training_shuffle(spark.range(1), "id", n_shards=0)
