@@ -587,6 +587,37 @@ def _q_cdc_chunk_store(spark, sf_dir):
     )
 
 
+def _q_cdc_delta(spark, sf_dir):
+    """Cross-snapshot delta storage (`operators/cdc.py cdc_delta`): per
+    new-snapshot document, how many of its CDC chunks the OLD snapshot's
+    chunk store already holds (only id references needed) vs genuinely
+    new — the reference's cross-block dictionary reuse
+    (`examples/main.rs:36-61`) lifted to corpus versions; the storage
+    complement of `snapshot_diff`'s row classification (same old/new
+    derivation: old drops doc_id % 11 == 3, new drops % 13 == 5 and
+    edits % 7 == 2). Content-defined cuts make the edited docs mostly
+    reused — exactly what fixed-offset chunking would destroy."""
+    from rust_gd_spark.operators.cdc import cdc_chunks, cdc_delta
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 11 != 3)
+    new = d.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" [edit]")),
+        ).otherwise(F.col("text")),
+    )
+    kw = dict(divisor=CDC_DIVISOR, gram=CDC_GRAM)
+    return cdc_delta(
+        cdc_chunks(new, "doc_id", "text", **kw),
+        cdc_chunks(old, "doc_id", "text", **kw),
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_chunks", "n_reused", "n_new", "reused_tokens", "new_tokens",
+    )
+
+
 def _q_training_shuffle(spark, sf_dir):
     """Deterministic global shuffle into shards (`operators/sampling.py
     training_shuffle`): shard = 52-bit md5 % n, pos = within-shard digest
@@ -1192,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_chunk_store": _q_cdc_chunk_store,
+        "cdc_delta": _q_cdc_delta,
         "training_shuffle": _q_training_shuffle,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
@@ -1686,6 +1718,26 @@ def _cdc_chunk_store_oracle_sql() -> str:
     """
 
 
+def _cdc_delta_oracle_sql() -> str:
+    from rust_gd_spark.operators.cdc import cdc_chunks_sql, cdc_delta_sql
+
+    new_tbl = (
+        "(select doc_id, case when doc_id % 7 = 2 then"
+        " coalesce(text, '') || ' [edit]' else text end as text"
+        " from documents where doc_id % 13 != 5)"
+    )
+    old_tbl = "(select * from documents where doc_id % 11 != 3)"
+    inner = cdc_delta_sql(
+        cdc_chunks_sql(new_tbl, "doc_id", "text", CDC_DIVISOR, CDC_GRAM),
+        cdc_chunks_sql(old_tbl, "doc_id", "text", CDC_DIVISOR, CDC_GRAM),
+    )
+    return f"""
+        select id as doc_id, n_chunks, n_reused, n_new,
+               reused_tokens, new_tokens
+        from ({inner})
+    """
+
+
 def _training_shuffle_oracle_sql() -> str:
     from rust_gd_spark.operators.sampling import training_shuffle_sql
 
@@ -1894,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_k_sample": _exact_k_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
         "cdc_chunk_store": _cdc_chunk_store_oracle_sql(),
+        "cdc_delta": _cdc_delta_oracle_sql(),
         "training_shuffle": _training_shuffle_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,

@@ -198,6 +198,7 @@ def main() -> None:
     timed("cdc_chunks", lambda: _force(q["cdc_chunks"](spark, sf_dir)))
     timed("cdc_chunk_store",
           lambda: _force(q["cdc_chunk_store"](spark, sf_dir)))
+    timed("cdc_delta", lambda: _force(q["cdc_delta"](spark, sf_dir)))
     timed("training_shuffle",
           lambda: _force(q["training_shuffle"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))

@@ -226,3 +226,63 @@ def cdc_chunks_sql(
                  as chunk_hash
         from b, unnest(range(1, len(starts) + 1)) as u(k)
     """
+
+
+def cdc_delta(new_chunks: DataFrame, old_chunks: DataFrame) -> DataFrame:
+    """Per-document delta-storage rollup of a new corpus snapshot against
+    an old one's chunk store: ``(id, n_chunks, n_reused, n_new,
+    reused_tokens, new_tokens)`` — how much of each new document is
+    already stored (its chunks hit the old dictionary, only id
+    references needed) vs genuinely new bytes.
+
+    This is the reference engine's cross-block dictionary reuse
+    (`examples/main.rs:36-61`: blocks dedup against state built by
+    earlier blocks) lifted to corpus versions — the rsync/GD "send only
+    the new chunks" primitive that makes re-publishing a 100 TB corpus
+    cost O(delta), the storage complement of `snapshot.snapshot_diff`'s
+    row-level classification. Because chunking is content-defined, an
+    edited document still reuses every chunk outside the edit's
+    neighborhood (see ``cdc_chunks``).
+
+    Scale: the old store collapses to distinct hashes (one partial-agg
+    shuffle over narrow rows), the membership join is hash-equi (AQE
+    broadcasts when the store fits, shuffles otherwise — never a driver
+    collect), and the rollup reuses the new side's id grouping. A left
+    join (not anti) so fully-reused documents still report.
+    """
+    old = old_chunks.select("chunk_hash").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    j = new_chunks.join(old, "chunk_hash", "left")
+    hit = F.col("_hit").isNotNull()
+    return j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_reused"),
+        F.sum(F.when(hit, 0).otherwise(1)).alias("n_new"),
+        F.sum(F.when(hit, F.col("chunk_tokens")).otherwise(0)).alias(
+            "reused_tokens"
+        ),
+        F.sum(F.when(hit, 0).otherwise(F.col("chunk_tokens"))).alias(
+            "new_tokens"
+        ),
+    )
+
+
+def cdc_delta_sql(new_chunks_sql: str, old_chunks_sql: str) -> str:
+    """DuckDB twin of ``cdc_delta`` over two ``cdc_chunks_sql`` bodies."""
+    return f"""
+        with nc as ({new_chunks_sql}),
+        oc as (select distinct chunk_hash from ({old_chunks_sql}))
+        select nc.id,
+               count(*)::bigint as n_chunks,
+               sum(case when oc.chunk_hash is not null then 1 else 0
+                   end)::bigint as n_reused,
+               sum(case when oc.chunk_hash is null then 1 else 0
+                   end)::bigint as n_new,
+               sum(case when oc.chunk_hash is not null then nc.chunk_tokens
+                   else 0 end)::bigint as reused_tokens,
+               sum(case when oc.chunk_hash is null then nc.chunk_tokens
+                   else 0 end)::bigint as new_tokens
+        from nc left join oc using (chunk_hash)
+        group by nc.id
+    """

@@ -214,3 +214,62 @@ def test_training_shuffle_validates_params(spark):
 
     with pytest.raises(ValueError):
         training_shuffle(spark.range(1), "id", n_shards=0)
+
+
+def test_cdc_delta_reuse(spark, cdc_docs):
+    from rust_gd_spark.operators.cdc import cdc_chunks, cdc_delta
+
+    old = cdc_chunks(
+        cdc_docs.filter(F.col("doc_id").isin(0, 1)), "doc_id", "text",
+        divisor=4, gram=2,
+    )
+    new = cdc_chunks(
+        cdc_docs.filter(F.col("doc_id").isin(2, 3, 6)), "doc_id", "text",
+        divisor=4, gram=2,
+    )
+    d = {r.id: r for r in cdc_delta(new, old).collect()}
+    # doc 2 is an exact dup of old doc 0: fully reused, zero new tokens
+    assert d[2].n_new == 0 and d[2].new_tokens == 0
+    assert d[2].n_reused == d[2].n_chunks
+    # doc 3 (doc 0 with one prepended token): everything after the first
+    # re-synced cut reuses the old store
+    assert d[3].n_reused >= d[3].n_chunks - 2
+    assert d[3].n_new >= 1  # the perturbed head chunk is genuinely new
+    # doc 6 shares nothing with the old snapshot
+    assert d[6].n_reused == 0 and d[6].reused_tokens == 0
+    # token accounting is exact
+    for r in d.values():
+        assert r.n_reused + r.n_new == r.n_chunks
+        assert r.reused_tokens + r.new_tokens > 0
+
+
+def test_cdc_delta_matches_duckdb_twin(spark, cdc_docs):
+    from rust_gd_spark.operators.cdc import (
+        cdc_chunks,
+        cdc_chunks_sql,
+        cdc_delta,
+        cdc_delta_sql,
+    )
+
+    old_df = cdc_docs.filter(F.col("doc_id") % 2 == 0)
+    new_df = cdc_docs.filter(F.col("doc_id") % 3 != 1)
+    got = {
+        tuple(r)
+        for r in cdc_delta(
+            cdc_chunks(new_df, "doc_id", "text", divisor=4, gram=2),
+            cdc_chunks(old_df, "doc_id", "text", divisor=4, gram=2),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", cdc_docs.toPandas())
+    sql = cdc_delta_sql(
+        cdc_chunks_sql(
+            "(select * from docs where doc_id % 3 != 1)",
+            "doc_id", "text", 4, 2,
+        ),
+        cdc_chunks_sql(
+            "(select * from docs where doc_id % 2 = 0)",
+            "doc_id", "text", 4, 2,
+        ),
+    )
+    assert {tuple(r) for r in con.execute(sql).fetchall()} == got
