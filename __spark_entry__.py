@@ -454,6 +454,7 @@ CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 TFIDF_K = 3
 EXACT_K = 7
+RANGE_DELTA_US = 30 * 60 * 1_000_000  # ±30 min band
 DSIR_BUCKETS = 4096
 CDC_DIVISOR = 8  # expected CDC chunk length in tokens (docs avg ~45 tokens)
 CDC_GRAM = 2
@@ -802,6 +803,36 @@ def _q_session_windows(spark, sf_dir):
         F.unix_micros(F.col("session_end").cast("timestamp_ltz")).alias("session_end_us"),
         "n_events",
         "sum_value",
+    )
+
+
+def _q_range_join_events(spark, sf_dir):
+    """Bounded time-range join (`operators/rangejoin.py`): every error
+    paired with the same user's clicks within ±30 min — compiled to ONE
+    equi-join on (user, time-bucket) with the left side exploded to 3
+    candidate buckets (a naive inequality join would plan a
+    BroadcastNestedLoopJoin); exact |Δt| ≤ δ re-check post-join. Oracle
+    is the direct inequality join."""
+    from rust_gd_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = range_join(
+        errors, clicks, key="user_id", ts="ts",
+        delta_us=RANGE_DELTA_US, right_cols=["ts", "event_id"],
+    )
+    ltz = lambda c: F.col(c).cast("timestamp_ltz")  # noqa: E731
+    return out.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros(ltz("ts")).alias("ts_us"),
+        F.col("event_id_r").alias("click_id"),
+        (F.unix_micros(ltz("ts_r")) - F.unix_micros(ltz("ts"))).alias("dt_us"),
     )
 
 
@@ -1240,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": _q_event_window_stats,
         "session_windows": _q_session_windows,
         "asof_join_events": _q_asof_join_events,
+        "range_join_events": _q_range_join_events,
         "event_quantiles": _q_event_quantiles,
         "event_type_pivot": _q_event_type_pivot,
         "event_rollup": _q_event_rollup,
@@ -2160,6 +2192,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) as sum_value,
                    grouping(event_type, even_hour) as gid
             from e group by rollup (event_type, even_hour)
+        """,
+        "range_join_events": f"""
+            select l.event_id as error_id,
+                   l.user_id,
+                   epoch_us(l.ts) as ts_us,
+                   r.event_id as click_id,
+                   epoch_us(r.ts) - epoch_us(l.ts) as dt_us
+            from (select event_id, user_id, ts from events
+                  where event_type = 'error') l
+            join (select user_id, ts, event_id from events
+                  where event_type = 'click') r
+              on l.user_id = r.user_id
+             and abs(epoch_us(l.ts) - epoch_us(r.ts)) <= {RANGE_DELTA_US}
         """,
         "asof_join_events": """
             select l.event_id,

@@ -171,6 +171,8 @@ def main() -> None:
     timed("event_quantiles", lambda: _force(q["event_quantiles"](spark, sf_dir)))
     timed("event_type_pivot", lambda: _force(q["event_type_pivot"](spark, sf_dir)))
     timed("event_rollup", lambda: _force(q["event_rollup"](spark, sf_dir)))
+    timed("range_join_events",
+          lambda: _force(q["range_join_events"](spark, sf_dir)))
     timed("conv_repetition", lambda: _force(q["conv_repetition"](spark, sf_dir)))
     timed("cluster_representatives",
           lambda: _force(q["cluster_representatives"](spark, sf_dir)))

@@ -35,4 +35,6 @@ Each module is one operator family from SURVEY.md §2 Part B:
 * ``asof``       — backward-inclusive as-of join.
 * ``bloom``      — sharded-Bloom cross-corpus membership prefilter.
 * ``cdc``        — content-defined chunking + chunk-store dedup.
+* ``rangejoin``  — bounded time-range (band) join via bucketized
+                   equi-join.
 """
