@@ -455,6 +455,8 @@ CHUNK_STRIDE = 24
 TFIDF_K = 3
 EXACT_K = 7
 RANGE_DELTA_US = 30 * 60 * 1_000_000  # ±30 min band
+MIX_WEIGHTS = {"0": 0.45, "1": 0.30, "2": 0.20, "3": 0.05}
+MIX_BUDGET = 200
 DSIR_BUCKETS = 4096
 CDC_DIVISOR = 8  # expected CDC chunk length in tokens (docs avg ~45 tokens)
 CDC_GRAM = 2
@@ -550,6 +552,47 @@ def _q_dsir_weights(spark, sf_dir):
     return dsir_logweights(
         d, target, "doc_id", "text", n_buckets=DSIR_BUCKETS
     ).select(F.col("id").alias("doc_id"), "n_ngrams", "logw")
+
+
+def _q_xent_mixture_sample(spark, sf_dir):
+    """Quality-aware corpus mixing, end to end in one query: unigram-LM
+    cross-entropy (`operators/lm.py`) → 4 equal-width xent bands between
+    the broadcast corpus min/max (NO global sort — ntile would serialize
+    at 100 TB) → `mixture_plan` fractions for a 0.45/0.30/0.20/0.05
+    target over a fixed budget → `weighted_sample` keep decision (52-bit
+    md5, bit-identical across engines). The composite shows the quality
+    → plan → sample chain the individual oracled operators feed."""
+    from rust_gd_spark.operators.lm import unigram_xent
+    from rust_gd_spark.operators.sampling import mixture_plan, weighted_sample
+
+    d = _docs(spark, sf_dir)
+    x = unigram_xent(d, "doc_id", "text").select("id", "xent")
+    mm = x.agg(F.min("xent").alias("lo"), F.max("xent").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 4
+    b = (
+        x.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "bucket",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(3),
+                    F.floor((F.col("xent") - F.col("lo")) / width),
+                )
+            )
+            .cast("int"),
+        )
+        .select("id", "xent", "bucket", F.lit(1).alias("one"))
+    )
+    plan = mixture_plan(
+        b, "bucket", weights=MIX_WEIGHTS, budget=MIX_BUDGET, size_col="one"
+    ).select(F.col("stratum"), "fraction")
+    joined = b.withColumn("stratum", F.col("bucket").cast("string")).join(
+        F.broadcast(plan), "stratum"
+    )
+    return weighted_sample(joined, "id", "fraction").select(
+        F.col("id").alias("doc_id"), "bucket", "xent", "fraction"
+    )
 
 
 def _q_cdc_chunks(spark, sf_dir):
@@ -1255,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_chunk_store": _q_cdc_chunk_store,
         "cdc_delta": _q_cdc_delta,
+        "xent_mixture_sample": _q_xent_mixture_sample,
         "training_shuffle": _q_training_shuffle,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
@@ -1722,6 +1766,42 @@ def _doc_chunks_oracle_sql() -> str:
     """
 
 
+def _xent_mixture_oracle_sql() -> str:
+    from rust_gd_spark.operators.lm import unigram_xent_sql
+    from rust_gd_spark.operators.sampling import weighted_sample_sql
+
+    inner = unigram_xent_sql("documents", "doc_id", "text")
+    arms = " ".join(
+        f"when bucket = {v} then {float(w)!r}"
+        for v, w in sorted(MIX_WEIGHTS.items())
+    )
+    keep = weighted_sample_sql("b.id", "pf.fraction", seed=0)
+    return f"""
+        with x as ({inner}),
+        mm as (select min(xent) as lo, max(xent) as hi from x),
+        b as (
+          select x.id, x.xent,
+                 (case when mm.hi = mm.lo then 0
+                       else least(3, floor((x.xent - mm.lo)
+                                           / ((mm.hi - mm.lo) / 4)))
+                  end)::int as bucket
+          from x, mm
+        ),
+        plan as (select bucket, count(*) as actual_size from b group by 1),
+        pf as (
+          select bucket,
+                 round(least(1.0,
+                             (case {arms} else 0.0 end) * {MIX_BUDGET}
+                             / greatest(actual_size, 1)::double), 6)
+                   as fraction
+          from plan
+        )
+        select b.id as doc_id, b.bucket, b.xent, pf.fraction
+        from b join pf using (bucket)
+        where {keep}
+    """
+
+
 def _cdc_chunks_oracle_sql() -> str:
     from rust_gd_spark.operators.cdc import cdc_chunks_sql
 
@@ -1979,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_chunks_oracle_sql(),
         "cdc_chunk_store": _cdc_chunk_store_oracle_sql(),
         "cdc_delta": _cdc_delta_oracle_sql(),
+        "xent_mixture_sample": _xent_mixture_oracle_sql(),
         "training_shuffle": _training_shuffle_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,
