@@ -809,6 +809,54 @@ def _q_join_agg(spark, sf_dir):
     )
 
 
+def _q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem: date-filtered scan
+    (predicate pushed to parquet) → one partial-agg shuffle on the 4-cell
+    (returnflag, linestatus) key with 8 aggregates riding the same
+    exchange. The classic whole-stage-codegen agg — every expression
+    JVM-side, map-side combine collapses 60k rows/SF to 4 before the
+    exchange. 2-dp money rounding (exact: inputs are 2-dp decimals in
+    double form, sums stay « 2^53)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    # Order-independent money arithmetic: double sums are
+    # non-associative, and at Σ≈1e9 the partial-agg ordering difference
+    # between Spark and DuckDB can flip a 2-dp round. Per-row the two
+    # engines compute IDENTICAL doubles (same IEEE ops on the same
+    # inputs), so round each row to integer cents first; integer sums
+    # are exact in any order and « 2^53.
+    def cents(col):
+        return F.round(col * 100, 0).cast("long")
+
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("_base_c"),
+            F.sum(cents(disc)).alias("_disc_c"),
+            F.sum(cents(charge)).alias("_charge_c"),
+            F.sum(cents(F.col("l_discount"))).alias("_disc_pts"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        F.round(F.col("_base_c") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("_disc_c") / 100.0, 2).alias("sum_disc_price"),
+        F.round(F.col("_charge_c") / 100.0, 2).alias("sum_charge"),
+        F.round(F.col("sum_qty") / n, 6).alias("avg_qty"),
+        F.round(F.col("_base_c") / 100.0 / n, 6).alias("avg_price"),
+        F.round(F.col("_disc_pts") / 100.0 / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
 def _q_event_window_stats(spark, sf_dir):
     """Epoch-aligned tumbling-window event aggregation (batch form of the
     watermarked streaming query in `streaming_window.py`; the reference
@@ -1312,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_reassembly": _q_window_reassembly,
         "window_rank": _q_window_rank,
         "join_agg_segment": _q_join_agg,
+        "lineitem_pricing": _q_lineitem_pricing,
         "event_window_stats": _q_event_window_stats,
         "session_windows": _q_session_windows,
         "asof_join_events": _q_asof_join_events,
@@ -2286,6 +2335,30 @@ def oracle_sql() -> dict[str, str]:
                   where event_type = 'click') r
               on l.user_id = r.user_id
              and abs(epoch_us(l.ts) - epoch_us(r.ts)) <= {RANGE_DELTA_US}
+        """,
+        "lineitem_pricing": """
+            with c as (
+              select l_returnflag, l_linestatus, l_quantity,
+                     cast(round(l_extendedprice * 100, 0) as bigint) as base_c,
+                     cast(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                          as bigint) as disc_c,
+                     cast(round(l_extendedprice * (1 - l_discount)
+                                * (1 + l_tax) * 100, 0) as bigint) as charge_c,
+                     cast(round(l_discount * 100, 0) as bigint) as disc_pts
+              from lineitem
+              where l_shipdate <= '1998-09-02'
+            )
+            select l_returnflag, l_linestatus,
+                   cast(sum(l_quantity) as bigint) as sum_qty,
+                   round(sum(base_c) / 100.0, 2) as sum_base_price,
+                   round(sum(disc_c) / 100.0, 2) as sum_disc_price,
+                   round(sum(charge_c) / 100.0, 2) as sum_charge,
+                   round(cast(sum(l_quantity) as bigint) / count(*), 6) as avg_qty,
+                   round(sum(base_c) / 100.0 / count(*), 6) as avg_price,
+                   round(sum(disc_pts) / 100.0 / count(*), 6) as avg_disc,
+                   count(*) as count_order
+            from c
+            group by 1, 2
         """,
         "asof_join_events": """
             select l.event_id,

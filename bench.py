@@ -163,6 +163,8 @@ def main() -> None:
     timed("window_reassembly", lambda: _force(q["window_reassembly"](spark, sf_dir)))
     timed("window_rank", lambda: _force(q["window_rank"](spark, sf_dir)))
     timed("join_agg_segment", lambda: _force(q["join_agg_segment"](spark, sf_dir)))
+    timed("lineitem_pricing",
+          lambda: _force(q["lineitem_pricing"](spark, sf_dir)))
     timed("event_window_stats",
           lambda: _force(q["event_window_stats"](spark, sf_dir)))
     timed("session_windows", lambda: _force(q["session_windows"](spark, sf_dir)))
