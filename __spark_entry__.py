@@ -617,8 +617,8 @@ def _q_cdc_chunk_store(spark, sf_dir):
     """The corpus chunk dictionary over the CDC chunks (`operators/
     cdc.py`): per distinct chunk, copies/doc counts and the canonical
     first occurrence via a single min(id·10⁹+idx) integer total order —
-    one partial-agg shuffle, the GD dictionary (`src/dict.rs:38-63`) as
-    a relational rollup."""
+    Spark's two-phase distinct agg (two narrow exchanges, plan-pinned),
+    the GD dictionary (`src/dict.rs:38-63`) as a relational rollup."""
     from rust_gd_spark.operators.cdc import cdc_chunk_store, cdc_chunks
 
     c = cdc_chunks(

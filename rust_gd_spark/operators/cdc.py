@@ -130,10 +130,15 @@ def cdc_chunk_store(chunks: DataFrame) -> DataFrame:
     first_chunk_idx)`` — ``first_*`` is the lexicographically smallest
     ``(id, chunk_idx)`` occurrence, the copy a dedup store keeps.
 
-    One partial-agg shuffle on ``chunk_hash``; the canonical pick rides
-    the same aggregate as ``min(ord)`` (integer total order), the
-    repo-wide single-shuffle survivorship pattern
-    (``pipeline.cluster_representatives``)."""
+    Plan shape (pinned in tests/test_plans.py): Spark's canonical
+    two-phase distinct-agg — partial aggregate + exchange on
+    ``(chunk_hash, id)`` for the ``n_docs`` distinct, then final
+    exchange on ``chunk_hash`` — two shuffles of NARROW rows (hash +
+    counters), with the canonical pick riding the same aggregate as
+    ``min(ord)`` (integer total order, the survivorship pattern from
+    ``pipeline.cluster_representatives``). Callers that don't need
+    ``n_docs`` could drop to one shuffle, but the dictionary's
+    per-document reach is what decides boilerplate-vs-duplication."""
     ord_col = F.col("id").cast("long") * _ORD_BASE + F.col("chunk_idx")
     return (
         chunks.groupBy("chunk_hash")

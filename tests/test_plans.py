@@ -215,3 +215,42 @@ def test_bloom_confirm_never_shuffles_corpus(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # cand/matched distincts
+
+
+def test_cdc_chunker_is_zero_shuffle(spark, tmp_path):
+    """Content-defined chunking must stay a pure scan→project→generate
+    chain: all cut/start/end arithmetic is Catalyst array expressions,
+    so the ONLY acceptable plan has no Exchange at all. The chunk STORE
+    is the canonical two-phase distinct-agg (partial on (hash, id) for
+    n_docs, final on hash) — exactly two narrow exchanges, never
+    more."""
+    from rust_gd_spark.operators.cdc import cdc_chunk_store, cdc_chunks
+
+    p = str(tmp_path / "cdc_docs")
+    spark.sql(
+        "select id as doc_id, concat('tok', id % 7, ' tok', id % 11,"
+        " ' tok', id % 13, ' tok', id % 5) as text from range(500)"
+    ).write.parquet(p)
+    chunks = cdc_chunks(spark.read.parquet(p), "doc_id", "text", divisor=4)
+    assert "Exchange" not in _plan(chunks)
+    store = cdc_chunk_store(chunks)
+    store.count()
+    splan = _plan(store)
+    assert splan.count("Exchange hashpartitioning") == 2
+    # map-side combine before the exchange (partial_ aggregate modes)
+    assert "partial_count" in splan or "partial" in splan.lower()
+
+
+def test_training_shuffle_is_single_exchange(spark, tmp_path):
+    """The deterministic shard shuffle must cost exactly one exchange
+    (hash on shard) feeding the within-shard sort+row_number — never a
+    global single-partition window."""
+    from rust_gd_spark.operators.sampling import training_shuffle
+
+    p = str(tmp_path / "shuffle_docs")
+    spark.sql("select id as k from range(1000)").write.parquet(p)
+    out = training_shuffle(spark.read.parquet(p), "k", n_shards=8, seed=3)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # NO SinglePartition exchange: the layout is shard-local by design
+    assert "Exchange SinglePartition" not in plan
