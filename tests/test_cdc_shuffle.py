@@ -273,3 +273,44 @@ def test_cdc_delta_matches_duckdb_twin(spark, cdc_docs):
         ),
     )
     assert {tuple(r) for r in con.execute(sql).fetchall()} == got
+
+
+# ---------------------------------------------------------------------------
+# xent -> mixture_plan -> weighted_sample composite (driver query logic)
+# ---------------------------------------------------------------------------
+
+
+def test_xent_mixture_bucketing_partitions_and_weights(spark):
+    """The quality-mixing composite's bucketing contract: equal-width
+    bands between broadcast min/max partition every doc into 0..3, and
+    mixture_plan hands low-xent (high-weight) buckets a strictly higher
+    keep fraction when bucket sizes are equal."""
+    from pyspark.sql import functions as F
+    from rust_gd_spark.operators.sampling import mixture_plan
+
+    # 40 docs, xent stand-in values 0..39 -> 4 equal buckets of 10
+    x = spark.range(0, 40).select(
+        F.col("id"), (F.col("id").cast("double")).alias("xent")
+    )
+    mm = x.agg(F.min("xent").alias("lo"), F.max("xent").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 4
+    b = x.crossJoin(F.broadcast(mm)).withColumn(
+        "bucket",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(3), F.floor((F.col("xent") - F.col("lo")) / width))
+        )
+        .cast("int"),
+    ).select("id", "bucket", F.lit(1).alias("one"))
+    counts = {r.bucket: r.c for r in b.groupBy("bucket").agg(
+        F.count("*").alias("c")).collect()}
+    # width = 39/4 = 9.75: floor(x/9.75) lands 0..9->0, 10..19->1,
+    # 20..29->2, 30..39->3 (the cap only fires for x = hi)
+    assert counts == {0: 10, 1: 10, 2: 10, 3: 10}
+    weights = {"0": 0.45, "1": 0.30, "2": 0.20, "3": 0.05}
+    plan = {
+        r.stratum: r.fraction
+        for r in mixture_plan(b, "bucket", weights, budget=20,
+                              size_col="one").collect()
+    }
+    assert plan["0"] > plan["1"] > plan["2"] > plan["3"]
