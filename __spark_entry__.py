@@ -554,6 +554,40 @@ def _q_dsir_weights(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "n_ngrams", "logw")
 
 
+def _q_corpus_profile(spark, sf_dir):
+    """Per-source corpus profile — the first query a data engineer runs
+    on a new corpus: doc counts, exact distinct-content counts (the
+    dedup upper bound), token volume, mean length. All integer-exact
+    arithmetic (token/char sums are int64, division last), one
+    two-phase distinct agg on the narrow (source, md5) pairs. At 100 TB
+    the exact distinct becomes `approx_count_distinct` (HLL++, one pass,
+    no second exchange) — the swap is pinned within 5% by pytest, while
+    the oracle row checks the exact form bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(
+                F.md5(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("n_distinct_texts"),
+            F.sum(ts.token_count(F.col("text")).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            "total_tokens",
+            F.round(F.col("total_chars") / F.col("n_docs"), 6).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
 def _q_xent_mixture_sample(spark, sf_dir):
     """Quality-aware corpus mixing, end to end in one query: unigram-LM
     cross-entropy (`operators/lm.py`) → 4 equal-width xent bands between
@@ -1347,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_store": _q_cdc_chunk_store,
         "cdc_delta": _q_cdc_delta,
         "xent_mixture_sample": _q_xent_mixture_sample,
+        "corpus_profile": _q_corpus_profile,
         "training_shuffle": _q_training_shuffle,
         "dedup_ratio_metric": _q_dedup_metrics,
         "embedding_topk_cosine": _q_embedding_topk,
@@ -1815,6 +1850,21 @@ def _doc_chunks_oracle_sql() -> str:
     """
 
 
+def _corpus_profile_oracle_sql() -> str:
+    from rust_gd_spark.functions.textstats import token_count_sql
+
+    tc = token_count_sql("text")
+    return f"""
+        select source,
+               count(*) as n_docs,
+               count(distinct md5(coalesce(text, ''))) as n_distinct_texts,
+               sum({tc})::bigint as total_tokens,
+               round(sum(n_chars) / count(*), 6) as avg_chars
+        from documents
+        group by source
+    """
+
+
 def _xent_mixture_oracle_sql() -> str:
     from rust_gd_spark.operators.lm import unigram_xent_sql
     from rust_gd_spark.operators.sampling import weighted_sample_sql
@@ -2109,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_store": _cdc_chunk_store_oracle_sql(),
         "cdc_delta": _cdc_delta_oracle_sql(),
         "xent_mixture_sample": _xent_mixture_oracle_sql(),
+        "corpus_profile": _corpus_profile_oracle_sql(),
         "training_shuffle": _training_shuffle_oracle_sql(),
         "dedup_ratio_metric": """
             select count(*) as n_rows,

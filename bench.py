@@ -205,6 +205,8 @@ def main() -> None:
     timed("cdc_delta", lambda: _force(q["cdc_delta"](spark, sf_dir)))
     timed("xent_mixture_sample",
           lambda: _force(q["xent_mixture_sample"](spark, sf_dir)))
+    timed("corpus_profile",
+          lambda: _force(q["corpus_profile"](spark, sf_dir)))
     timed("training_shuffle",
           lambda: _force(q["training_shuffle"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))

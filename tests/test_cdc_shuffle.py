@@ -314,3 +314,30 @@ def test_xent_mixture_bucketing_partitions_and_weights(spark):
                               size_col="one").collect()
     }
     assert plan["0"] > plan["1"] > plan["2"] > plan["3"]
+
+
+def test_corpus_profile_approx_distinct_swap(spark):
+    """The 100 TB swap the corpus_profile driver query documents:
+    approx_count_distinct (HLL++, one pass, no second exchange) stays
+    within 5% of the exact distinct on a deterministic input — so the
+    exact form is the oracle and the approx form is the scale path."""
+    from pyspark.sql import functions as F
+
+    d = spark.sql(
+        "select id % 4 as source, concat('doc ', id % 537) as text"
+        " from range(5000)"
+    )
+    exact = {
+        r.source: r.d
+        for r in d.groupBy("source")
+        .agg(F.countDistinct("text").alias("d"))
+        .collect()
+    }
+    approx = {
+        r.source: r.d
+        for r in d.groupBy("source")
+        .agg(F.approx_count_distinct("text").alias("d"))
+        .collect()
+    }
+    for s in exact:
+        assert abs(approx[s] - exact[s]) / exact[s] <= 0.05
