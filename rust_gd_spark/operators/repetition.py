@@ -73,7 +73,7 @@ def dup_line_stats_sql(table: str, id_expr: str, text_expr: str) -> str:
         nb as (select id, line from lines where trim(line) <> ''),
         per_line as (select id, line, count(*) as c from nb group by id, line)
         select id,
-               sum(c) as n_lines,
+               sum(c)::bigint as n_lines,
                round(sum(case when c > 1 then c else 0 end)::double
                      / greatest(sum(c), 1), 6) as dup_line_frac,
                round(sum(case when c > 1 then c * length(line) else 0 end)::double
