@@ -22,6 +22,34 @@ import numpy as np
 from .gf256 import ORDER, ROOT, gf_gauss_jordan_inverse, gf_matmul, gf_pow, gf_vecmat
 
 
+# Matrix-construction memos. The systematic parity P and the alignment
+# inverse T^-1 are pure functions of (n, k) / (n, T) and are read-only
+# after construction, but building them costs ~70 ms each (Vandermonde +
+# Gauss-Jordan over GF(2^8)) — which dominated gd_conversation_roundtrip
+# (two fresh codecs per conversation group: 98% of the query's kernel
+# time was matrix construction, 2% actual dedup/dup). The per-instance
+# LRU dictionary stays fresh; only the immutable matrices are shared.
+_PARITY_CACHE: dict[tuple[int, int], np.ndarray] = {}
+_POSTCODING_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
+
+
+def _parity_for(n: int, k: int) -> np.ndarray:
+    key = (n, k)
+    p = _PARITY_CACHE.get(key)
+    if p is None:
+        # Vandermonde V[row, col] = alpha^(row*col), rows 0..k, cols 0..n
+        v = np.zeros((k, n), dtype=np.uint8)
+        for row in range(k):
+            for col in range(n):
+                v[row, col] = gf_pow(ROOT, row * col)
+        left_inv = gf_gauss_jordan_inverse(v[:, :k])
+        g = gf_matmul(left_inv, v)  # systematic generator matrix [I P]
+        p = g[:, k:].copy()  # P: (k, n-k)
+        p.setflags(write=False)
+        _PARITY_CACHE[key] = p
+    return p
+
+
 class ReedSolomon:
     """Byte-unit code: chunk = n bytes, base = k bytes, deviation = n-k bytes."""
 
@@ -32,14 +60,7 @@ class ReedSolomon:
         self.code_symbol_len = n
         self.info_symbol_len = k
         self.deviation_symbol_len = n - k
-        # Vandermonde V[row, col] = alpha^(row*col), rows 0..k, cols 0..n
-        v = np.zeros((k, n), dtype=np.uint8)
-        for row in range(k):
-            for col in range(n):
-                v[row, col] = gf_pow(ROOT, row * col)
-        left_inv = gf_gauss_jordan_inverse(v[:, :k])
-        g = gf_matmul(left_inv, v)  # systematic generator matrix [I P]
-        self.generator_parity = g[:, k:].copy()  # P: (k, n-k)
+        self.generator_parity = _parity_for(n, k)
         self.precoding: np.ndarray | None = None
         self.postcoding: np.ndarray | None = None
 
@@ -49,7 +70,13 @@ class ReedSolomon:
         if t.shape != (self.code_symbol_len, self.code_symbol_len):
             raise ValueError("error alignment matrix must be n x n")
         self.precoding = t
-        self.postcoding = gf_gauss_jordan_inverse(t)  # raises if singular
+        key = (self.code_symbol_len, t.tobytes())
+        inv = _POSTCODING_CACHE.get(key)
+        if inv is None:
+            inv = gf_gauss_jordan_inverse(t)  # raises if singular
+            inv.setflags(write=False)
+            _POSTCODING_CACHE[key] = inv
+        self.postcoding = inv
 
     # -- batched kernels ----------------------------------------------------
 
