@@ -214,3 +214,33 @@ def test_ivf_centroids_normalized_and_bounded(spark, planted):
     # n_centroids above the sample size degrades gracefully
     C2 = emb.train_ivf_centroids(df, n_centroids=500, train_rows=64)
     assert C2.shape[0] == 64
+
+
+def test_ivf_pruned_recall_row(spark, planted):
+    """The driver-facing recall row (`ivf_pruned_recall`): probing every
+    cell must give recall exactly 1.0 for every vector (pruned == exact by
+    construction), and pruned probing yields recall in [0, 1] with the
+    planted near-dups' home cells intact."""
+    df, _, _ = planted
+    full = emb.ivf_pruned_recall(
+        df, k=3, n_centroids=8, n_probe=8, block_rows=64
+    ).collect()
+    assert len(full) == 230
+    assert all(r.recall == 1.0 and r.n_hits == 3 for r in full), [
+        r for r in full if r.recall != 1.0
+    ][:3]
+    pruned = emb.ivf_pruned_recall(
+        df, k=3, n_centroids=8, n_probe=2, block_rows=64
+    ).collect()
+    assert len(pruned) == 230
+    assert all(0.0 <= r.recall <= 1.0 for r in pruned)
+    assert any(r.recall < 1.0 for r in pruned)  # genuinely pruned
+
+
+def test_hash_centroids_deterministic_and_normalized(spark, planted):
+    df, _, _ = planted
+    a = emb.hash_centroids(df, n_centroids=8)
+    b = emb.hash_centroids(df, n_centroids=8)
+    assert a.shape == (8, 32)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-12)
