@@ -763,6 +763,24 @@ def _q_embedding_topk_ivf_pruned(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "neighbor_id", "cosine", "rank")
 
 
+def _q_embedding_topk_ivf_pruned_recall(spark, sf_dir):
+    """Hard signal for the PRUNED IVF path (approximate by design, so its
+    neighbor list is rows-only): per-vector recall vs the exact top-k,
+    both computed in-query. Hash-selected centroids + 6-dp-rounded cell
+    assignment make the pruned side exactly reproducible in DuckDB, so
+    the recall ROW gets a value-hash oracle even though the neighbor
+    list itself cannot (reference analogue: asserted round-trip vs
+    printed dedup rate, src/lib.rs:130 vs :131-135)."""
+    from rust_gd_spark.operators.embedding import ivf_pruned_recall
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return ivf_pruned_recall(
+        e, "vec_id", "embedding", k=TOPK, n_centroids=16, n_probe=4,
+        block_rows=512,
+    ).select(F.col("id").alias("vec_id"), "n_hits", "recall")
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1123,37 +1141,53 @@ def _q_embedding_ann_highsim(spark, sf_dir):
     a sound oracle, and it exercises bucket-join + prefilter + verify
     (unlike `embedding_ann_lsh`, whose τ=0.35 delegates to the blocked
     exact scan)."""
+    import os
+
     from rust_gd_spark.operators.embedding import embedding_near_dup_pairs
     from rust_gd_spark.session import ensure_min_partitions
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    # Precomputed-fixture fast path (round-4 VERDICT task 7): bench.py
+    # stages the planted corpus to parquet via
+    # fixtures.ensure_highsim_fixture — bit-identical content to the
+    # in-query construction below, so the oracle is unchanged and the
+    # bench row times the LSH operator alone. Without the staged file
+    # (e.g. the driver's correctness harness) the query self-constructs.
+    from rust_gd_spark.fixtures import ensure_highsim_fixture
 
-    # Vectorized fixture construction (round-3 VERDICT "what's wrong" #3):
-    # the mixture 0.95·v + 0.3·w runs as ONE Arrow-batched pandas UDF over
-    # the planted 10% slice, not an interpreted zip_with per element, and
-    # the corpus-wide float→double is a native array cast — the bench row
-    # now times the LSH operator, not the fixture.
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _mix_udf(ea, eb):  # scalar pandas UDF: Series, Series -> Series
-        va = np.stack(ea.to_numpy()).astype(np.float64)
-        vb = np.stack(eb.to_numpy()).astype(np.float64)
-        return pd.Series(list(0.95 * va + 0.3 * vb))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    staged = f"/root/repo/dist/fixtures/highsim_{tag}.parquet"
+    if os.path.exists(staged):
+        aug = ensure_min_partitions(spark.read.parquet(staged))
+    else:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
 
-    e = ensure_min_partitions(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    a, b = e.alias("a"), e.alias("b")
-    planted = (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
-        .filter(F.col("a.vec_id") % 5 == 0)
-        .select(
-            (F.col("a.vec_id") + 1000000).alias("vec_id"),
-            _mix_udf("a.embedding", "b.embedding").alias("embedding"),
+        # Vectorized fixture construction (round-3 VERDICT "what's wrong"
+        # #3): the mixture 0.95·v + 0.3·w runs as ONE Arrow-batched pandas
+        # UDF over the planted 10% slice, not an interpreted zip_with per
+        # element, and the corpus-wide float→double is a native array cast.
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def _mix_udf(ea, eb):  # scalar pandas UDF: Series, Series -> Series
+            va = np.stack(ea.to_numpy()).astype(np.float64)
+            vb = np.stack(eb.to_numpy()).astype(np.float64)
+            return pd.Series(list(0.95 * va + 0.3 * vb))
+
+        e = ensure_min_partitions(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         )
-    )
-    aug = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).unionByName(planted)
+        a, b = e.alias("a"), e.alias("b")
+        planted = (
+            a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+            .filter(F.col("a.vec_id") % 5 == 0)
+            .select(
+                (F.col("a.vec_id") + 1000000).alias("vec_id"),
+                _mix_udf("a.embedding", "b.embedding").alias("embedding"),
+            )
+        )
+        aug = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(planted)
     return embedding_near_dup_pairs(
         aug, "vec_id", "embedding", threshold=0.9, nbits=256, bands=32, seed=7,
         strategy="auto",
@@ -1350,7 +1384,36 @@ def _q_multimodal_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # oracle-checked
+        # Order is load-bearing: the driver's correctness pass has a time
+        # budget and in round 4 reached only the first ~50 entries, leaving
+        # the tail unchecked. The least-recently-driver-verified and most
+        # load-bearing queries therefore come FIRST (round-4 VERDICT task
+        # 2): the GD family, the pipeline composites, and everything that
+        # lacked an r4 row. The cheapest, most-stably-green relational
+        # queries sit at the end where falling off the budget costs least.
+        "gd_roundtrip": _q_gd_roundtrip,
+        "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
+        "gd_chunk_stats": _q_gd_chunk_stats,
+        "transcript_clusters": _q_transcript_clusters,
+        "training_data_prep": _q_training_data_prep,
+        "cluster_representatives": _q_cluster_representatives,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "incremental_clusters": _q_incremental_clusters,
+        "conv_repetition": _q_conv_repetition,
+        "substring_pairs": _q_substring_pairs,
+        "multimodal_features": _q_multimodal_features,
+        "event_type_pivot": _q_event_type_pivot,
+        "event_rollup": _q_event_rollup,
+        # new in round 5: the pruned-IVF recall row (hard oracle for the
+        # approximate path)
+        "embedding_topk_ivf_pruned_recall": _q_embedding_topk_ivf_pruned_recall,
+        # rows-only (non-SQL-expressible: simhash fingerprint family; GD
+        # base/deviation byte contents — chunk counts ARE oracle-checked
+        # via gd_chunk_stats, round-trip via gd_roundtrip)
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_rotation_pairs": _q_simhash_rotation_pairs,
+        "gd_decompose_metrics": _q_gd_decompose_metrics,
+        # oracle-checked, driver-green in r4
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -1401,25 +1464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
         "event_quantiles": _q_event_quantiles,
-        "event_type_pivot": _q_event_type_pivot,
-        "event_rollup": _q_event_rollup,
-        "substring_pairs": _q_substring_pairs,
-        "gd_roundtrip": _q_gd_roundtrip,
-        "gd_roundtrip_aligned": _q_gd_roundtrip_aligned,
-        "gd_chunk_stats": _q_gd_chunk_stats,
-        "transcript_clusters": _q_transcript_clusters,
-        "cluster_representatives": _q_cluster_representatives,
-        "incremental_clusters": _q_incremental_clusters,
-        "training_data_prep": _q_training_data_prep,
-        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
-        "conv_repetition": _q_conv_repetition,
-        "multimodal_features": _q_multimodal_features,
-        # rows-only (non-SQL-expressible: simhash fingerprint family; GD
-        # base/deviation byte contents — chunk counts ARE oracle-checked
-        # via gd_chunk_stats, round-trip via gd_roundtrip)
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash_rotation_pairs": _q_simhash_rotation_pairs,
-        "gd_decompose_metrics": _q_gd_decompose_metrics,
     }
 
 
@@ -1722,6 +1766,69 @@ select vec_id, neighbor_id, cosine,
        row_number() over (partition by vec_id order by cosine desc, neighbor_id) as rank
 from sims
 qualify rank <= {TOPK}
+"""
+
+# DuckDB twin of ivf_pruned_recall: the ENTIRE pruned-IVF path (hash-
+# selected centroids, 6-dp-rounded cell assignment, n_probe nearest cells,
+# candidates = probe cell ∩ neighbor home cell, exact cosine re-rank,
+# top-k) re-expressed in SQL, then per-vector hit count vs the exhaustive
+# top-k. Every ranking key is the ROUNDED cosine with an id tie-break, so
+# numpy's pairwise-sum dots and DuckDB's sequential list_sum agree.
+_IVF_RECALL_SQL = f"""
+with n as (
+  select vec_id,
+         list_transform(embedding, x -> x::double /
+           sqrt(list_sum(list_transform(embedding, y -> y::double * y::double))))
+           as v
+  from embeddings
+),
+cent as (
+  select v, row_number() over (order by md5(vec_id::varchar), vec_id) - 1 as cell
+  from n
+  qualify row_number() over (order by md5(vec_id::varchar), vec_id) <= 16
+),
+dots as (
+  select n.vec_id, c.cell,
+         round(list_sum(list_transform(range(1, len(n.v) + 1),
+               i -> n.v[i] * c.v[i])), 6) as d
+  from n, cent c
+),
+ranked as (
+  select vec_id, cell,
+         row_number() over (partition by vec_id order by d desc, cell) as cr
+  from dots
+),
+home as (select vec_id, cell from ranked where cr = 1),
+probes as (select vec_id, cell from ranked where cr <= 4),
+cand as (
+  select p.vec_id as vec_id, h.vec_id as neighbor_id, p.cell
+  from probes p join home h on p.cell = h.cell and p.vec_id <> h.vec_id
+),
+pruned as (
+  select c.vec_id, c.neighbor_id,
+         row_number() over (partition by c.vec_id order by
+           round(list_sum(list_transform(range(1, len(l.v) + 1),
+                 i -> l.v[i] * r.v[i])), 6) desc, c.neighbor_id) as rank
+  from cand c
+  join n l on l.vec_id = c.vec_id
+  join n r on r.vec_id = c.neighbor_id
+  qualify rank <= {TOPK}
+),
+exact as (
+  select l.vec_id as vec_id, r.vec_id as neighbor_id,
+         row_number() over (partition by l.vec_id order by
+           round(list_sum(list_transform(range(1, len(l.v) + 1),
+                 i -> l.v[i] * r.v[i])), 6) desc, r.vec_id) as rank
+  from n l join n r on l.vec_id <> r.vec_id
+  qualify rank <= {TOPK}
+)
+select x.vec_id,
+       sum(case when p.neighbor_id is not null then 1 else 0 end)::int as n_hits,
+       round(sum(case when p.neighbor_id is not null then 1 else 0 end)::double
+             / count(*), 6) as recall
+from exact x
+left join pruned p on p.vec_id = x.vec_id and p.neighbor_id = x.neighbor_id
+group by 1
 """
 
 
@@ -2193,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_topk_blocked": _EMB_TOPK_SQL,
         "embedding_topk_ivf": _EMB_TOPK_SQL,
+        "embedding_topk_ivf_pruned_recall": _IVF_RECALL_SQL,
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -13,19 +13,49 @@ each operator family so regressions are attributable.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def _force(df) -> int:
     """Execute fully; cheap driver-side result."""
     return df.count()
+
+
+def _tmpfs_local_dir() -> str | None:
+    """Shuffle/spill dir on tmpfs, when the box has one with headroom.
+
+    The sandbox's virtio disk writes ~20 MB/s; with shuffle on it the bench
+    measures the disk, not the engine (a real executor has local NVMe).
+    Round-4 VERDICT #3: this knob lived only in tools/run_*.sh, so the
+    in-repo 9.76 s artifact did not reproduce from a bare `python bench.py`
+    (driver measured 12.585 s on an equally quiet box). Now bench.py sets
+    it up itself and stamps `local_dir` into the artifact so any residual
+    gap is attributable.
+    """
+    base = "/dev/shm"
+    try:
+        if not os.path.isdir(base):
+            return None
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize < 8 << 30:  # want >= 8 GiB headroom
+            return None
+        d = tempfile.mkdtemp(prefix="spark_bench_", dir=base)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return d
+    except OSError:
+        return None
 
 
 def main() -> None:
@@ -76,7 +106,12 @@ def main() -> None:
 
     from rust_gd_spark.session import get_spark
 
-    spark = get_spark(app_name="rust_gd_spark_bench", cores=cpus)
+    local_dir = _tmpfs_local_dir()
+    spark = get_spark(
+        app_name="rust_gd_spark_bench",
+        cores=cpus,
+        extra_conf={"spark.local.dir": local_dir} if local_dir else None,
+    )
 
     import __spark_entry__ as entrymod
 
@@ -157,6 +192,8 @@ def main() -> None:
     timed("embedding_topk_ivf", lambda: _force(q["embedding_topk_ivf"](spark, sf_dir)))
     timed("embedding_topk_ivf_pruned",
           lambda: _force(q["embedding_topk_ivf_pruned"](spark, sf_dir)))
+    timed("embedding_topk_ivf_pruned_recall",
+          lambda: _force(q["embedding_topk_ivf_pruned_recall"](spark, sf_dir)))
     timed("embedding_ann_lsh", lambda: _force(q["embedding_ann_lsh"](spark, sf_dir)))
     timed("embedding_decontam",
           lambda: _force(q["embedding_decontam"](spark, sf_dir)))
@@ -214,7 +251,12 @@ def main() -> None:
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
-    # queries() entry with planted near-dups and a DuckDB oracle.
+    # queries() entry with planted near-dups and a DuckDB oracle. Stage
+    # the planted corpus to parquet FIRST (outside the timer) so the row
+    # times the operator, not fixture construction (round-4 VERDICT #7).
+    from rust_gd_spark.fixtures import ensure_highsim_fixture
+
+    ensure_highsim_fixture(sf_dir)
     timed("embedding_ann_highsim",
           lambda: _force(q["embedding_ann_highsim"](spark, sf_dir)))
 
@@ -262,27 +304,56 @@ def main() -> None:
     throughput = n_docs / pipeline_sec if pipeline_sec > 0 else 0.0
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "near_dup_pipeline_sec",
-                "value": round(pipeline_sec, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_first_run": timings_first,
-                "sf": sf,
-                "rows": n_docs,
-                "throughput_rows_per_sec": round(throughput, 1),
-                "total_sec": total,
-                "cpus": cpus,
-                "triad_gbs": triad_gbs,
-                "triad_gbs_mid": triad_gbs_mid,
-                # post-run re-probe: interference STARTING mid-run would
-                # pass the entry gate but show here
-                "triad_gbs_end": _probe_triad(),
-            }
-        )
-    )
+    artifact = {
+        "metric": "near_dup_pipeline_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_first_run": timings_first,
+        "sf": sf,
+        "rows": n_docs,
+        "throughput_rows_per_sec": round(throughput, 1),
+        "total_sec": total,
+        "cpus": cpus,
+        "triad_gbs": triad_gbs,
+        "triad_gbs_mid": triad_gbs_mid,
+        # post-run re-probe: interference STARTING mid-run would pass the
+        # entry gate but show here
+        "triad_gbs_end": _probe_triad(),
+        # environment stamps (round-4 VERDICT #3: every knob the headline
+        # depends on must be self-contained and visible in the artifact)
+        "local_dir": "tmpfs" if local_dir else "disk",
+        "malloc_mmap_threshold": os.environ.get("MALLOC_MMAP_THRESHOLD_"),
+        "warmup": "0.1-sample full pipeline + per-query min-of-2",
+    }
+
+    # Full detail: a file plus the first JSON line. The driver captures
+    # only the LAST 2000 chars of stdout; the full line (two 60+-entry
+    # dicts) doesn't fit, which is why BENCH_r04.json has "parsed": null.
+    # So the final stdout line is a compact summary trimmed to fit the
+    # capture window — slowest queries kept first, count of omitted ones
+    # stamped, full per-query detail always in bench_full.json.
+    try:
+        with open(os.path.join(_REPO, "bench_full.json"), "w") as f:
+            json.dump(artifact, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(artifact))
+
+    summary = {k: v for k, v in artifact.items()
+               if k not in ("queries", "queries_first_run")}
+    summary["detail"] = "bench_full.json"
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = len(by_cost)
+    while keep > 0:
+        summary["queries"] = dict(by_cost[:keep])
+        summary["queries_omitted"] = len(by_cost) - keep
+        line = json.dumps(summary)
+        if len(line) <= 1700:
+            break
+        keep -= 4
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":
