@@ -14,9 +14,16 @@ each round is groupBy-min + join, both AQE-skew-splittable:
     small-star: orient edges high→low; attach u and its smaller neighbors
                 to m(u) = min over those neighbors
 
-``localCheckpoint`` every round truncates lineage (on a real cluster with a
-configured checkpoint dir, ``df.checkpoint()`` — reliable, survives executor
-loss; SURVEY.md §4.3).
+Checkpointing: every super-round truncates lineage. The default is
+``localCheckpoint`` (executor-memory blocks — fastest, but a lost executor
+loses its blocks and fails the job). Passing ``checkpoint_dir`` (or setting
+``GD_CC_CHECKPOINT_DIR``) switches every truncation to RELIABLE
+``df.checkpoint()`` into that directory (HDFS/S3/NFS on a real cluster):
+a lost executor's partitions are re-read from the checkpoint files instead
+of recomputed-from-nothing, so the CC stage resumes mid-iteration — the
+north_rule's "resumes from checkpoint after executor loss" clause, tested
+end-to-end by tools/test_checkpoint_resume.sh (SIGKILL of a standalone
+worker mid-CC). SURVEY.md §4.3.
 """
 
 from __future__ import annotations
@@ -108,6 +115,7 @@ def connected_components(
     max_iter: int = 50,
     rounds_per_barrier: int | None = None,
     small_graph_rows: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``(node long, component long)`` for every node appearing in ``edges``;
     component = min node id of the connected component.
@@ -158,7 +166,19 @@ def connected_components(
         small_graph_rows = int(
             os.environ.get("GD_CC_SMALL_GRAPH_ROWS", "2000000")
         )
-    cur = _canon(edges).localCheckpoint(eager=True)
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get("GD_CC_CHECKPOINT_DIR") or None
+    if checkpoint_dir:
+        # Reliable mode: truncations write to the checkpoint dir and
+        # survive executor loss (localCheckpoint blocks do not).
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    cur = _ckpt(_canon(edges), eager=True)
     if small_graph_rows > 0:
         # probe the CHECKPOINT, not the plan: under budget the collect is
         # the whole (small) edge set; over budget it is a cheap limit-scan
@@ -175,11 +195,11 @@ def connected_components(
         # clamp the final super-round so exactly max_iter star-rounds run
         for _ in range(min(rounds_per_barrier, max_iter - it)):
             cur = _canon(_small_star(_large_star(cur)))
-        # LAZY localCheckpoint: the signature action right below both
+        # LAZY checkpoint: the signature action right below both
         # materializes the checkpoint and computes the convergence
         # signature in ONE job — one driver barrier per super-round.
         # Lineage still truncates to O(1) at the checkpoint.
-        cur = cur.localCheckpoint(eager=False)
+        cur = _ckpt(cur, eager=False)
         sig = _signature(cur)
         if sig == prev_sig:
             break
@@ -197,6 +217,7 @@ def assign_clusters(
     pair_edges: DataFrame,
     id_col: str = "id",
     small_graph_rows: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster assignment for EVERY row of ``ids``: ``(id, cluster_id)``.
 
@@ -210,7 +231,9 @@ def assign_clusters(
     edges = pair_edges.select(
         F.xxhash64("id_l").alias("src"), F.xxhash64("id_r").alias("dst")
     )
-    comp = connected_components(edges, small_graph_rows=small_graph_rows)
+    comp = connected_components(
+        edges, small_graph_rows=small_graph_rows, checkpoint_dir=checkpoint_dir
+    )
     return (
         nodes.join(comp, "node", "left")
         .select(

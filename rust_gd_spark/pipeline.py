@@ -429,7 +429,18 @@ def near_dup_pipeline(
         near = pairs.filter(F.col("path") != "exact").dropDuplicates(
             ["id_l", "id_r"]
         )
-        rep_clusters = assign_clusters(reps.select("id"), near, "id")
+        # Reliable CC checkpointing rides the pipeline's checkpoint_dir:
+        # when stage resume is on, the CC iterations inside the clusters
+        # stage also survive executor loss (mid-iteration truncations go
+        # to {checkpoint_dir}/{run_id}/_cc instead of executor memory).
+        cc_dir = (
+            os.path.join(checkpoint_dir, run_id, "_cc")
+            if checkpoint_dir
+            else None
+        )
+        rep_clusters = assign_clusters(
+            reps.select("id"), near, "id", checkpoint_dir=cc_dir
+        )
         expanded = exact_groups.select("id", "canonical_id").join(
             rep_clusters.select(
                 F.col("id").alias("canonical_id"), "cluster_id"

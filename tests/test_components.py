@@ -97,3 +97,34 @@ def test_small_graph_over_budget_falls_through(spark):
     # bound smaller than the edge set: must fall through to the fixpoint
     assert _spark_components(spark, edges, small_graph_rows=3) == \
         _spark_components(spark, edges)
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """checkpoint_dir switches every lineage truncation to reliable
+    df.checkpoint() files (the executor-loss-resume mode): identical
+    fixpoint, and the directory actually receives RDD checkpoint data."""
+    import os
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    want = _spark_components(spark, edges)
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = _spark_components(spark, edges, checkpoint_dir=ckpt)
+    assert got == want
+    written = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert written, "reliable mode must write checkpoint files"
+
+
+def test_reliable_checkpoint_env_var(spark, tmp_path, monkeypatch):
+    import os
+
+    ckpt = str(tmp_path / "cc_env_ckpt")
+    monkeypatch.setenv("GD_CC_CHECKPOINT_DIR", ckpt)
+    edges = [(1, 2), (2, 3), (10, 11)]
+    got = _spark_components(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.path.isdir(ckpt)
