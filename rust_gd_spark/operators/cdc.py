@@ -51,11 +51,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .minhash import tokenize
 
-# Canonical-occurrence total order: ord = id·ORD_BASE + chunk_idx. Exact
-# in int64 for any corpus with ids < 2^63/ORD_BASE and documents shorter
-# than ORD_BASE chunks; both engines compute it in integer arithmetic.
-_ORD_BASE = 1_000_000_000
-
 
 def _cut_u52(gram_text: Column) -> Column:
     """52-bit integer from the md5 prefix of a gram — the engine-parity
@@ -78,8 +73,11 @@ def cdc_chunks(
     md5 integer of the space-joined window ``tokens[max(i-gram+1,1)..i]``
     is ``0 (mod divisor)``. The final token never cuts (the document end
     is the implicit last boundary). An empty/NULL document tokenizes to
-    one empty token and yields exactly one empty chunk — the reference's
-    zero-length-input rule (`src/gd_byte_unit.rs:44-49`).
+    one empty token and yields exactly one empty chunk — the repo-wide
+    split-of-empty tokenizer convention (``minhash.tokenize``: split('')
+    = ['']), NOT a reference rule (the reference's chunker computes
+    residue 0 → zero chunks for an empty buffer; `src/gd_byte_unit.rs:
+    44-49` pads a short FINAL chunk, which is a different case).
 
     Normalization is byte-identical to the MinHash shingler, so chunk
     hashes and document-level near-dup signatures describe the same
@@ -135,11 +133,14 @@ def cdc_chunk_store(chunks: DataFrame) -> DataFrame:
     ``(chunk_hash, id)`` for the ``n_docs`` distinct, then final
     exchange on ``chunk_hash`` — two shuffles of NARROW rows (hash +
     counters), with the canonical pick riding the same aggregate as
-    ``min(ord)`` (integer total order, the survivorship pattern from
-    ``pipeline.cluster_representatives``). Callers that don't need
-    ``n_docs`` could drop to one shuffle, but the dictionary's
-    per-document reach is what decides boilerplate-vs-duplication."""
-    ord_col = F.col("id").cast("long") * _ORD_BASE + F.col("chunk_idx")
+    ``min(struct(id, chunk_idx))`` (lexicographic struct total order,
+    the survivorship pattern from ``pipeline.cluster_representatives``;
+    correct for ANY id type — string, negative, or unsigned — unlike the
+    earlier ``id·10⁹ + chunk_idx`` integer encoding, whose long cast
+    NULLed string ids and whose div/% truncate-toward-zero miscomputed
+    negative ones). Callers that don't need ``n_docs`` could drop to
+    one shuffle, but the dictionary's per-document reach is what
+    decides boilerplate-vs-duplication."""
     return (
         chunks.groupBy("chunk_hash")
         .agg(
@@ -148,17 +149,15 @@ def cdc_chunk_store(chunks: DataFrame) -> DataFrame:
             # min, not first: same value for every copy (same hash ⇒ same
             # text), but min is deterministic and oracle-reproducible
             F.min("chunk_tokens").alias("chunk_tokens"),
-            F.min(ord_col).alias("_ord"),
+            F.min(F.struct("id", "chunk_idx")).alias("_first"),
         )
         .select(
             "chunk_hash",
             "n_copies",
             "n_docs",
             "chunk_tokens",
-            # `div` = exact int64 division (a double `/` would round past
-            # 2^53 for large ids)
-            F.expr(f"_ord div {_ORD_BASE}").alias("first_id"),
-            (F.col("_ord") % _ORD_BASE).alias("first_chunk_idx"),
+            F.col("_first.id").alias("first_id"),
+            F.col("_first.chunk_idx").alias("first_chunk_idx"),
         )
     )
 

@@ -16,8 +16,10 @@ retrieval matching benefit from shingled windows).
 Windows start at token offsets 0, stride, 2·stride, … ; the count is
 ``ceil(max(n_tok − size, 0) / stride) + 1`` so every token is covered,
 the final window may be short, and an empty/NULL document yields exactly
-one empty chunk (the reference's zero-length-input behavior: one padded
-chunk, `src/gd_byte_unit.rs:44-49`).
+one empty chunk — the repo-wide split-of-empty tokenizer convention
+(``minhash.tokenize``), not a reference rule: the reference's chunker
+yields ZERO chunks for an empty buffer (`src/gd_byte_unit.rs:44-49` pads
+a short FINAL chunk, a different case).
 
 Scale design (10⁹+ documents): ZERO shuffles — tokenization, the window
 count, and the per-window slices are all Catalyst array expressions over

@@ -52,9 +52,29 @@ def range_join(
     """Inner band join: every left row paired with every right row of the
     same ``key`` whose ``ts`` lies within ``delta_us`` microseconds.
     ``right_cols`` are projected from the right side with ``suffix``.
-    Left columns pass through unchanged."""
+    Left columns pass through unchanged.
+
+    Internal column names (``_us``/``_bucket``/``_rkey``/``_rus``) and the
+    suffixed right projections are validated against the caller's schemas
+    up front: a left frame already carrying ``_bucket``, or a left column
+    named like a suffixed right column, would otherwise surface as an
+    ambiguous-reference error mid-plan — or silently vanish in the final
+    ``drop``."""
     if delta_us < 1:
         raise ValueError(f"delta_us must be >= 1, got {delta_us}")
+    internal = {"_us", "_bucket", "_rkey", "_rus"}
+    clash = internal & set(left.columns) | internal & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"range_join: column(s) {sorted(clash)} collide with internal "
+            "names; rename them before joining"
+        )
+    out_clash = {f"{c}{suffix}" for c in right_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"range_join: suffixed right column(s) {sorted(out_clash)} "
+            f"collide with left columns; pass a different suffix"
+        )
     l_us = _epoch_us(ts)
     r_us = _epoch_us(ts)
     lb = F.floor(l_us / delta_us).cast("long")

@@ -101,3 +101,26 @@ def test_range_join_validates_delta(spark, band_tables):
     left, right = band_tables
     with pytest.raises(ValueError):
         range_join(left, right, key="k", ts="ts", delta_us=0, right_cols=["rid"])
+
+
+def test_range_join_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from rust_gd_spark.operators.rangejoin import range_join
+
+    base = spark.sql(
+        "select 1 as k, timestamp '2026-01-01 00:00:00' as ts, 7 as _bucket"
+    )
+    clean = spark.sql(
+        "select 1 as k, timestamp '2026-01-01 00:00:01' as ts, 'x' as v"
+    )
+    with _pytest.raises(ValueError, match="_bucket"):
+        range_join(base, clean, "k", "ts", 2_000_000, ["v"])
+    with _pytest.raises(ValueError, match="_bucket"):
+        range_join(clean, base, "k", "ts", 2_000_000, ["ts"])
+    # suffixed right column colliding with a left column
+    left2 = spark.sql(
+        "select 1 as k, timestamp '2026-01-01 00:00:00' as ts, 9 as v_r"
+    )
+    with _pytest.raises(ValueError, match="v_r"):
+        range_join(left2, clean, "k", "ts", 2_000_000, ["v"])
