@@ -781,6 +781,63 @@ def _q_embedding_topk_ivf_pruned_recall(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "n_hits", "recall")
 
 
+def _aug_conversations(spark, sf_dir):
+    """Transcripts + PLANTED re-logged conversations (the in-query-plant
+    pattern of `embedding_ann_highsim`; the synthetic corpus has no
+    cross-conversation duplicate turns, verified by the inverted-index
+    scout). Scale-proportional plants so thresholds are sf-invariant:
+
+    * ``conv-XXXX-relog`` (conv % 5 == 0): every turn except
+      ``turn_idx % 10 == 9`` — a 90% re-log, jaccard 0.9 / containment 1.
+    * ``conv-XXXX-half`` (conv % 7 == 0): the even turns — jaccard 0.5 /
+      containment 1; vs the relog of the same conv: jaccard 5/9.
+    """
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    num = F.substring("conv_id", 6, 4).cast("int")
+    relog = tr.filter((num % 5 == 0) & (F.col("turn_idx") % 10 != 9)).select(
+        F.concat("conv_id", F.lit("-relog")).alias("conv_id"), "turn_idx", "text"
+    )
+    half = tr.filter((num % 7 == 0) & (F.col("turn_idx") % 2 == 0)).select(
+        F.concat("conv_id", F.lit("-half")).alias("conv_id"), "turn_idx", "text"
+    )
+    return tr.unionByName(relog).unionByName(half)
+
+
+def _q_conversation_dups(spark, sf_dir):
+    """Conversation-level (turn-SET) dedup pairs — the transcript-native
+    granularity: re-logged / retried conversations found by exact turn
+    overlap, order-insensitive. Exact config (df_cap=None) so the DuckDB
+    inverted-index twin is bit-for-bit."""
+    from rust_gd_spark.operators.convdedup import conversation_dup_pairs
+
+    return conversation_dup_pairs(
+        _aug_conversations(spark, sf_dir),
+        threshold=0.5,
+        measure="jaccard",
+    )
+
+
+def _q_conversation_dup_clusters(spark, sf_dir):
+    """Connected components over the conversation-dup pair graph;
+    cluster label = min member conv_id (canonical form, reproducible by
+    the oracle's recursive-CTE closure). small_graph_rows=0 pins the
+    distributed fixpoint."""
+    from rust_gd_spark.operators.convdedup import conversation_dup_clusters
+    from rust_gd_spark.pipeline import canonical_clusters
+
+    cl = conversation_dup_clusters(
+        _aug_conversations(spark, sf_dir),
+        threshold=0.5,
+        measure="jaccard",
+        small_graph_rows=0,
+    )
+    return canonical_clusters(
+        cl.select(F.col("conv").alias("id"), "cluster_id")
+    ).select(F.col("id").alias("conv"), "cluster_id")
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1405,8 +1462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": _q_event_type_pivot,
         "event_rollup": _q_event_rollup,
         # new in round 5: the pruned-IVF recall row (hard oracle for the
-        # approximate path)
+        # approximate path) + conversation-level turn-set dedup
         "embedding_topk_ivf_pruned_recall": _q_embedding_topk_ivf_pruned_recall,
+        "conversation_dups": _q_conversation_dups,
+        "conversation_dup_clusters": _q_conversation_dup_clusters,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -1766,6 +1825,63 @@ select vec_id, neighbor_id, cosine,
        row_number() over (partition by vec_id order by cosine desc, neighbor_id) as rank
 from sims
 qualify rank <= {TOPK}
+"""
+
+# Conversation-level dedup oracles: the planted-conversation table in SQL
+# (twin of _aug_conversations — conv = doc_id % 50, turn_idx = doc_id //
+# 50), then the exact inverted-index pair computation / the recursive-CTE
+# closure for clusters.
+_AUG_CONVS_SQL = """
+  base as (
+    select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
+           (doc_id // 50)::int as ti, (doc_id % 50)::int as cn, text
+    from documents
+  ),
+  aug as (
+    select conv_id, text from base
+    union all
+    select conv_id || '-relog', text from base where cn % 5 = 0 and ti % 10 != 9
+    union all
+    select conv_id || '-half', text from base where cn % 7 = 0 and ti % 2 = 0
+  )
+"""
+
+
+def _conversation_dups_oracle_sql() -> str:
+    from rust_gd_spark.operators.convdedup import conversation_dup_pairs_sql
+
+    inner = conversation_dup_pairs_sql(
+        "aug", "conv_id", "text", 0.5, measure="jaccard"
+    )
+    return f"with {_AUG_CONVS_SQL}, {inner.lstrip().removeprefix('with')}"
+
+
+_CONV_CLUSTERS_SQL = f"""
+with recursive
+{_AUG_CONVS_SQL},
+csets as (
+  select distinct conv_id as conv,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))) as h
+  from aug
+),
+csizes as (select conv, count(*) as n from csets group by 1),
+ccommon as (
+  select l.conv as a, r.conv as b, count(*) as c
+  from csets l join csets r on l.h = r.h and l.conv < r.conv
+  group by 1, 2
+),
+cpairs as (
+  select c.a, c.b from ccommon c
+  join csizes sl on sl.conv = c.a join csizes sr on sr.conv = c.b
+  where round(c.c::double / (sl.n + sr.n - c.c), 6) >= 0.5
+),
+csym as (select a, b from cpairs union select b as a, a as b from cpairs),
+creach(src, dst) as (
+  select conv, conv from csizes
+  union
+  select r.src, s.b from creach r join csym s on r.dst = s.a
+)
+select src as conv, min(dst) as cluster_id from creach group by 1
 """
 
 # DuckDB twin of ivf_pruned_recall: the ENTIRE pruned-IVF path (hash-
@@ -2301,6 +2417,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_blocked": _EMB_TOPK_SQL,
         "embedding_topk_ivf": _EMB_TOPK_SQL,
         "embedding_topk_ivf_pruned_recall": _IVF_RECALL_SQL,
+        "conversation_dups": _conversation_dups_oracle_sql(),
+        "conversation_dup_clusters": _CONV_CLUSTERS_SQL,
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -213,6 +213,10 @@ def main() -> None:
     timed("range_join_events",
           lambda: _force(q["range_join_events"](spark, sf_dir)))
     timed("conv_repetition", lambda: _force(q["conv_repetition"](spark, sf_dir)))
+    timed("conversation_dups",
+          lambda: _force(q["conversation_dups"](spark, sf_dir)))
+    timed("conversation_dup_clusters",
+          lambda: _force(q["conversation_dup_clusters"](spark, sf_dir)))
     timed("cluster_representatives",
           lambda: _force(q["cluster_representatives"](spark, sf_dir)))
     timed("training_data_prep",

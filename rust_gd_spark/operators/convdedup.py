@@ -1,0 +1,202 @@
+"""Conversation-level dedup over multi-turn transcripts.
+
+The transcript-native dedup granularity the document operators don't
+cover: two CONVERSATIONS are duplicates when their TURN SETS overlap —
+the "same conversation re-logged with a turn dropped / retried /
+re-ordered" case (agent-trace corpora are full of these: a retried run
+shares every turn up to the divergence point). Document-level MinHash
+over the joined text misses turn reorderings and scores a 9-of-10-turn
+re-log by token overlap instead of by turn overlap; this operator works
+on the set of normalized turn fingerprints, so it is insensitive to turn
+order and exact about turn membership.
+
+Reference analogue: the GD dictionary matches whole chunk BASES after
+deviation is stripped (`src/dict.rs:38-63`, `DESIGN.md:62-109`); here a
+conversation's "base" is its set of normalized turn hashes and the
+"deviation" (ignored) is turn order + dropped/added turns below the
+threshold.
+
+Similarity measures over turn sets A, B:
+
+* ``jaccard``     = |A∩B| / |A∪B|   — symmetric near-dup;
+* ``containment`` = |A∩B| / min(|A|,|B|) — subset re-logs (a strict
+  prefix re-log scores 1.0 regardless of the longer run's extra turns).
+
+Scale design (10^9 conversations, 10^12 turns):
+
+* One partial-agg shuffle builds the distinct ``(conv, turn_hash)`` set
+  and per-conv sizes ride the same exchange.
+* Candidate pairs come from the turn-hash INVERTED INDEX (self-join on
+  the hash — each qualifying pair meets once per shared turn and the
+  count(*) IS the intersection size; no signatures needed because the
+  intersection is computed exactly, not estimated).
+* Hot turns are the hazard: a boilerplate greeting shared by 10^6
+  conversations posts a 10^12-pair bucket. ``df_cap`` drops turn hashes
+  whose conversation frequency exceeds the cap BEFORE the self-join
+  (the prefix-filter / stop-word discipline every inverted-index join
+  uses; same philosophy as the MinHash bucket caps in `_buckets.py`).
+  Dropped hashes are counted in the audit so the recall trade is
+  visible, and common/ubiquitous turns are exactly the ones that carry
+  no dedup signal. ``df_cap=None`` (the oracle config) is exact.
+* The pair aggregate is one more partial-agg shuffle on narrow
+  ``(conv_l, conv_r)`` int-or-string keys; AQE skew-join splits any
+  residual hot cell.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import assign_clusters
+from .minhash import normalize_text
+
+
+@dataclass
+class ConvDedupAudit:
+    n_convs: int
+    n_distinct_turn_hashes: int
+    n_capped_hashes: int
+
+
+def conversation_turn_sets(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(conv, h)`` — the DISTINCT normalized-turn-hash set per
+    conversation. Normalization is ``minhash.normalize_text`` (the
+    engine-wide base/deviation knob), so turn fingerprints, document
+    shingles, and CDC chunks all describe the same token stream."""
+    return transcripts.select(
+        F.col(conv_col).alias("conv"),
+        F.md5(normalize_text(F.col(text_col))).alias("h"),
+    ).dropDuplicates(["conv", "h"])
+
+
+def conversation_dup_pairs(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    measure: str = "jaccard",
+    df_cap: int | None = None,
+    with_audit: bool = False,
+):
+    """``(conv_l, conv_r, n_common, jaccard, containment)`` for every
+    conversation pair whose ``measure`` meets ``threshold``
+    (``conv_l < conv_r``; both measures are emitted, the filter applies
+    to the chosen one; 6-dp rounding, the engine-wide oracle contract).
+
+    ``df_cap``: drop turn hashes appearing in more than this many
+    conversations before pairing (see module docstring). None = exact.
+    ``with_audit=True`` returns ``(pairs_df, ConvDedupAudit)``.
+    """
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = conversation_turn_sets(transcripts, conv_col, text_col)
+    sizes = sets.groupBy("conv").agg(F.count("*").alias("n"))
+    capped = 0
+    if df_cap is not None:
+        freq = sets.groupBy("h").agg(F.count("*").alias("df"))
+        hot = freq.filter(F.col("df") > df_cap)
+        if with_audit:
+            capped = hot.count()
+        sets = sets.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    l = sets.select(F.col("conv").alias("conv_l"), "h")
+    r = sets.select(F.col("conv").alias("conv_r"), "h")
+    common = (
+        l.join(r, "h")
+        .filter(F.col("conv_l") < F.col("conv_r"))
+        .groupBy("conv_l", "conv_r")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        common.join(
+            sizes.select(F.col("conv").alias("conv_l"), F.col("n").alias("_nl")),
+            "conv_l",
+        )
+        .join(
+            sizes.select(F.col("conv").alias("conv_r"), F.col("n").alias("_nr")),
+            "conv_r",
+        )
+        .select(
+            "conv_l",
+            "conv_r",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("_nl") + F.col("_nr") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") / F.least("_nl", "_nr"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col(measure) >= threshold)
+    )
+    if not with_audit:
+        return scored
+    n_convs = sizes.count()
+    n_hashes = sets.select("h").distinct().count()
+    return scored, ConvDedupAudit(n_convs, n_hashes, capped)
+
+
+def conversation_dup_clusters(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    measure: str = "jaccard",
+    df_cap: int | None = None,
+    small_graph_rows: int | None = None,
+) -> DataFrame:
+    """``(conv, cluster_id)`` for EVERY conversation: connected
+    components over the qualifying pair graph (cluster survivorship =
+    keep one re-log per cluster). Singletons keep their own hash id —
+    the same contract as ``assign_clusters``."""
+    pairs = conversation_dup_pairs(
+        transcripts, conv_col, text_col, threshold, measure, df_cap
+    ).select(F.col("conv_l").alias("id_l"), F.col("conv_r").alias("id_r"))
+    ids = transcripts.select(F.col(conv_col).alias("conv")).distinct()
+    return assign_clusters(
+        ids, pairs, "conv", small_graph_rows=small_graph_rows
+    ).select(F.col("id").alias("conv"), "cluster_id")
+
+
+def conversation_dup_pairs_sql(
+    table: str,
+    conv_expr: str,
+    text_expr: str,
+    threshold: float,
+    measure: str = "jaccard",
+) -> str:
+    """DuckDB twin of ``conversation_dup_pairs`` (exact config,
+    df_cap=None)."""
+    norm = (
+        f"trim(regexp_replace(lower(coalesce({text_expr}, '')),"
+        " '[^a-z0-9]+', ' ', 'g'))"
+    )
+    return f"""
+        with sets as (
+          select distinct {conv_expr} as conv, md5({norm}) as h
+          from {table}
+        ),
+        sizes as (select conv, count(*) as n from sets group by 1),
+        common as (
+          select l.conv as conv_l, r.conv as conv_r, count(*)::bigint as n_common
+          from sets l join sets r on l.h = r.h and l.conv < r.conv
+          group by 1, 2
+        )
+        select c.conv_l, c.conv_r, c.n_common,
+               round(c.n_common::double / (sl.n + sr.n - c.n_common), 6) as jaccard,
+               round(c.n_common::double / least(sl.n, sr.n), 6) as containment
+        from common c
+        join sizes sl on sl.conv = c.conv_l
+        join sizes sr on sr.conv = c.conv_r
+        where round(c.n_common::double /
+              {"(sl.n + sr.n - c.n_common)" if measure == "jaccard" else "least(sl.n, sr.n)"},
+              6) >= {threshold}
+    """
