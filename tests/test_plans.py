@@ -254,3 +254,26 @@ def test_training_shuffle_is_single_exchange(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 1
     # NO SinglePartition exchange: the layout is shard-local by design
     assert "Exchange SinglePartition" not in plan
+
+
+def test_conversation_dup_pairs_plan_is_agg_join_only(spark, tmp_path):
+    """Conversation-level dedup must stay JVM-side: distinct turn-set
+    agg (map-side combine), inverted-index equi-join, pair aggregate with
+    partial modes — no Python evaluation anywhere, no nested-loop join
+    (the band predicate is an exact hash equi-join by construction)."""
+    from rust_gd_spark.operators.convdedup import conversation_dup_pairs
+
+    p = str(tmp_path / "convs")
+    spark.sql(
+        "select concat('c', id % 20) as conv_id,"
+        " cast(id div 20 as int) as turn_idx,"
+        " concat('turn ', id % 37) as text from range(400)"
+    ).write.parquet(p)
+    pairs = conversation_dup_pairs(
+        spark.read.parquet(p), threshold=0.2, measure="jaccard"
+    )
+    pairs.count()
+    plan = _plan(pairs)
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
+    assert "NestedLoop" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the pair agg
