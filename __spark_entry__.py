@@ -1352,6 +1352,23 @@ def _q_cluster_representatives(spark, sf_dir):
     )
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/val split: the split coin is flipped per
+    near-dup CLUSTER (the oracle-shaped pipeline's canonical labels), so
+    no duplicate pair straddles the boundary — a per-document split
+    would leak a doc and its near-dup across sides with prob 2f(1−f).
+    Oracle: the recursive-CTE cluster closure + the same md5-threshold
+    rule (the `hash_sample` engine-parity convention)."""
+    from rust_gd_spark.operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(
+        _q_transcript_clusters(spark, sf_dir),
+        cluster_col="cluster_id",
+        frac_train=0.8,
+        seed=11,
+    )
+
+
 def _q_gd_roundtrip_aligned(spark, sf_dir):
     """RS + error-alignment variant (the reference's third entry point,
     `src/lib.rs:73-78`; round-trip test `src/lib.rs:197-239`): decode on
@@ -1466,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_pruned_recall": _q_embedding_topk_ivf_pruned_recall,
         "conversation_dups": _q_conversation_dups,
         "conversation_dup_clusters": _q_conversation_dup_clusters,
+        "leakage_safe_split": _q_leakage_safe_split,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -1826,6 +1844,16 @@ select vec_id, neighbor_id, cosine,
 from sims
 qualify rank <= {TOPK}
 """
+
+def _leakage_split_oracle_sql() -> str:
+    from rust_gd_spark.operators.sampling import leakage_safe_split_sql
+
+    split = leakage_safe_split_sql("cluster_id", 0.8, seed=11)
+    return f"""
+        select id, cluster_id, {split} as split
+        from ({_CLUSTERS_SQL}) clustered
+    """
+
 
 # Conversation-level dedup oracles: the planted-conversation table in SQL
 # (twin of _aug_conversations — conv = doc_id % 50, turn_idx = doc_id //
@@ -2419,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_ivf_pruned_recall": _IVF_RECALL_SQL,
         "conversation_dups": _conversation_dups_oracle_sql(),
         "conversation_dup_clusters": _CONV_CLUSTERS_SQL,
+        "leakage_safe_split": _leakage_split_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -350,3 +350,46 @@ def training_shuffle_sql(
                )::bigint as pos
         from {table}
     """
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    cluster_col: str = "cluster_id",
+    frac_train: float = 0.9,
+    seed: int = 0,
+) -> DataFrame:
+    """Adds ``split`` ('train' | 'val') decided PER NEAR-DUP CLUSTER, so
+    no duplicate pair ever straddles the split boundary.
+
+    The leakage-safe form of the train/validation split every training
+    pipeline needs: a per-DOCUMENT hash split leaks — a document and its
+    near-duplicate land on opposite sides with probability
+    2·f·(1−f), and the validation loss silently measures memorization.
+    Keying the decision on the cluster label (every member inherits its
+    cluster's coin flip) makes straddling impossible BY CONSTRUCTION,
+    and because the label itself is content-derived (min member id), the
+    split is reproducible across runs, partitionings, and engines — the
+    same md5-threshold rule as ``hash_sample``, zero shuffles on top of
+    the clusters table.
+
+    Expected (not exact) train mass is ``frac_train`` of CLUSTERS; heavy
+    clusters skew realized document mass — by design (the alternative,
+    balancing document counts, would have to split some cluster).
+    """
+    return clusters.withColumn(
+        "split",
+        F.when(
+            _digest(F.col(cluster_col), seed) < hash_threshold(frac_train),
+            F.lit("train"),
+        ).otherwise(F.lit("val")),
+    )
+
+
+def leakage_safe_split_sql(
+    cluster_expr: str, frac_train: float, seed: int = 0
+) -> str:
+    """The SELECT expression equivalent to ``leakage_safe_split``."""
+    return (
+        f"case when {_digest_sql(cluster_expr, seed)} < "
+        f"'{hash_threshold(frac_train)}' then 'train' else 'val' end"
+    )

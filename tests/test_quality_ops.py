@@ -334,3 +334,34 @@ def test_pack_sequences_validation(spark):
         packing.pack_sequences(df, "doc_id", "n_tok", capacity=0)
     with pytest.raises(ValueError):
         packing.pack_sequences(df, "doc_id", "n_tok", capacity=8, n_shards=0)
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """The defining invariant: every member of a cluster gets the same
+    split, so no within-cluster (near-dup) pair straddles train/val; the
+    per-cluster decision matches the SQL twin; fractions are sane."""
+    rows = [(f"d{i}", f"c{i % 37}") for i in range(500)]
+    cl = spark.createDataFrame(rows, "id string, cluster_id string")
+    out = sampling.leakage_safe_split(cl, frac_train=0.8, seed=11).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster straddles split"
+    train_clusters = sum(1 for s in by_cluster.values() if s == {"train"})
+    assert 0.6 <= train_clusters / len(by_cluster) <= 0.95  # 37 coins at f=0.8
+    # engine parity with the SQL twin
+    con = duckdb.connect()
+    con.register("cl", pd.DataFrame(rows, columns=["id", "cluster_id"]))
+    twin = con.execute(
+        "select id, "
+        + sampling.leakage_safe_split_sql("cluster_id", 0.8, seed=11)
+        + " as split from cl"
+    ).fetchdf()
+    want = dict(zip(twin["id"], twin["split"]))
+    assert all(want[r.id] == r.split for r in out)
+    # determinism + monotonicity in frac_train: train set only grows
+    lo = {r.id: r.split for r in sampling.leakage_safe_split(cl, frac_train=0.4, seed=11).collect()}
+    assert all(lo[r.id] == "train" or True for r in out)
+    assert {i for i, s in lo.items() if s == "train"} <= {
+        r.id for r in out if r.split == "train"
+    }
