@@ -1369,6 +1369,55 @@ def _q_leakage_safe_split(spark, sf_dir):
     )
 
 
+def _planted_urls_expr(div: str) -> str:
+    """Crawl-URL fixture (the in-query-plant pattern of
+    `embedding_ann_highsim` — the synthetic corpus has no URL column):
+    each page ``doc_id div 4`` appears under four surface forms that all
+    canonicalize to one URL — plain, uppercase-HTTP + tracking params,
+    ``www.`` + trailing slash, ``:443`` + fragment — plus a planted
+    singleton (``doc_id % 9 == 7``) so group sizes vary. ``div`` is the
+    integer-division token ('div' for Spark, '//' for DuckDB); the rest
+    of the expression is dialect-shared."""
+    page = f"(doc_id {div} 4)"
+    tail = f"'l' || ({page} % 3) || '/doc-' || {page}"
+    host = f"'src' || ({page} % 11)"
+    return f"""
+        case when doc_id % 9 = 7
+             then 'https://unique' || doc_id || '.example.com/only'
+             when doc_id % 4 = 0
+             then 'https://' || {host} || '.example.com/' || {tail}
+             when doc_id % 4 = 1
+             then 'HTTP://' || upper({host}) || '.EXAMPLE.COM/' || {tail}
+                  || '?utm_source=rss&gclid=g' || doc_id
+             when doc_id % 4 = 2
+             then 'https://www.' || {host} || '.example.com/' || {tail} || '/'
+             else 'https://' || {host} || '.example.com:443/' || {tail}
+                  || '#frag'
+        end
+    """
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL-level exact dedup: canonicalize planted crawl URLs (scheme
+    case, www., default port, tracking params, fragment, trailing slash)
+    and keep one row per canonical URL — the cheapest dedup tier, before
+    any content hashing. Pure-codegen regexp chain + the `exactdup`
+    agg-join shape. Oracle: the identical RE2 chain in DuckDB."""
+    from rust_gd_spark.operators.urldedup import url_dup_groups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = d.select(
+        "doc_id", F.expr(_planted_urls_expr("div")).alias("url")
+    )
+    return url_dup_groups(urls, "doc_id", "url").select(
+        F.col("id").alias("doc_id"),
+        "url",
+        "canonical_url",
+        "canonical_id",
+        "group_size",
+    )
+
+
 def _q_gd_roundtrip_aligned(spark, sf_dir):
     """RS + error-alignment variant (the reference's third entry point,
     `src/lib.rs:73-78`; round-trip test `src/lib.rs:197-239`): decode on
@@ -1484,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_dups": _q_conversation_dups,
         "conversation_dup_clusters": _q_conversation_dup_clusters,
         "leakage_safe_split": _q_leakage_safe_split,
+        "url_dedup": _q_url_dedup,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -1844,6 +1894,30 @@ select vec_id, neighbor_id, cosine,
 from sims
 qualify rank <= {TOPK}
 """
+
+def _url_dedup_oracle_sql() -> str:
+    from rust_gd_spark.operators.urldedup import canonicalize_url_sql
+
+    return f"""
+        with urls as (
+          select doc_id, ({_planted_urls_expr("//")}) as url
+          from documents
+        ),
+        keyed as (
+          select doc_id, url,
+                 {canonicalize_url_sql("url")} as canonical_url
+          from urls
+        ),
+        groups as (
+          select canonical_url, min(doc_id) as canonical_id,
+                 count(*) as group_size
+          from keyed group by canonical_url
+        )
+        select k.doc_id, k.url, k.canonical_url,
+               g.canonical_id, g.group_size
+        from keyed k join groups g using (canonical_url)
+    """
+
 
 def _leakage_split_oracle_sql() -> str:
     from rust_gd_spark.operators.sampling import leakage_safe_split_sql
@@ -2448,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_dups": _conversation_dups_oracle_sql(),
         "conversation_dup_clusters": _CONV_CLUSTERS_SQL,
         "leakage_safe_split": _leakage_split_oracle_sql(),
+        "url_dedup": _url_dedup_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -277,3 +277,26 @@ def test_conversation_dup_pairs_plan_is_agg_join_only(spark, tmp_path):
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython both
     assert "NestedLoop" not in plan
     assert "partial" in plan.lower()  # map-side combine on the pair agg
+
+
+def test_url_dedup_plan_is_codegen_agg_join(spark, tmp_path):
+    """URL dedup must stay pure-JVM and window-free: the regexp
+    canonicalization chain runs inside whole-stage codegen, grouping is
+    a partial+final HashAggregate on the canonical key (AQE-splittable
+    join back) — never a per-key Window, which would pin every copy of a
+    hot crawler-trap URL into one task."""
+    from rust_gd_spark.operators.urldedup import url_dup_groups
+
+    p = str(tmp_path / "urls")
+    spark.sql(
+        "select id, concat('https://WWW.ex', id % 7,"
+        " '.com:443/p?utm_x=', id, '#f') as url from range(300)"
+    ).write.parquet(p)
+    out = url_dup_groups(spark.read.parquet(p))
+    out.collect()  # drive to the FINAL adaptive plan (codegen spans appear)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "NestedLoop" not in plan
+    assert "partial_min" in plan  # map-side combine on the group agg
+    assert "*(1)" in plan  # canonicalization runs inside codegen stage 1
