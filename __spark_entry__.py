@@ -1418,6 +1418,35 @@ def _q_url_dedup(spark, sf_dir):
     )
 
 
+def _q_domain_filter(spark, sf_dir):
+    """Host-level aggregate gate (the CCNet/RefinedWeb domain-filter
+    stage): a document is kept only if its HOST's keep ratio passes —
+    spam-farm hosts lose even their individually-passing pages. Plants
+    host-correlated quality soup (hosts src0-src2 get ~1/3 soup → ratio
+    2/3, dropped at 0.8; singleton hosts dropped by min_docs=2). The
+    per-host metric is exact-integer division, so the oracle compares
+    it unrounded."""
+    from rust_gd_spark.functions.quality_model import quality_keep
+    from rust_gd_spark.operators.domainfilter import domain_filter
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_planted_urls_expr("div")).alias("url"),
+        F.when(
+            F.expr("(doc_id div 4) % 11 < 3 and doc_id % 3 = 0"),
+            F.lit(_QM_SOUP),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    scored = planted.select(
+        "doc_id", "url", quality_keep(F.col("text")).alias("keep")
+    )
+    return domain_filter(
+        scored, min_keep_ratio=0.8, min_docs=2
+    ).select(
+        "doc_id", "host", "keep", "host_docs", "host_keep_docs", "keep_ratio"
+    )
+
+
 def _q_gd_roundtrip_aligned(spark, sf_dir):
     """RS + error-alignment variant (the reference's third entry point,
     `src/lib.rs:73-78`; round-trip test `src/lib.rs:197-239`): decode on
@@ -1534,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_dup_clusters": _q_conversation_dup_clusters,
         "leakage_safe_split": _q_leakage_safe_split,
         "url_dedup": _q_url_dedup,
+        "domain_filter": _q_domain_filter,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -1916,6 +1946,41 @@ def _url_dedup_oracle_sql() -> str:
         select k.doc_id, k.url, k.canonical_url,
                g.canonical_id, g.group_size
         from keyed k join groups g using (canonical_url)
+    """
+
+
+def _domain_filter_oracle_sql() -> str:
+    from rust_gd_spark.functions import quality_model as qm
+    from rust_gd_spark.operators.domainfilter import extract_host_sql
+
+    return f"""
+        with urls as (
+          select doc_id,
+                 ({_planted_urls_expr("//")}) as url,
+                 case when (doc_id // 4) % 11 < 3 and doc_id % 3 = 0
+                      then '{_QM_SOUP}' else text end as text
+          from documents
+        ),
+        scored as (
+          select doc_id, url, {qm.quality_keep_sql('text')} as keep
+          from urls
+        ),
+        hosted as (
+          select doc_id, keep, {extract_host_sql('url')} as host
+          from scored
+        ),
+        stats as (
+          select host, count(*) as host_docs,
+                 sum(case when keep then 1 else 0 end)::bigint
+                   as host_keep_docs,
+                 sum(case when keep then 1 else 0 end)::bigint / count(*)
+                   as keep_ratio
+          from hosted group by host
+        )
+        select h.doc_id, h.host, h.keep,
+               s.host_docs, s.host_keep_docs, s.keep_ratio
+        from hosted h join stats s using (host)
+        where s.keep_ratio >= 0.8 and s.host_docs >= 2
     """
 
 
@@ -2523,6 +2588,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_dup_clusters": _CONV_CLUSTERS_SQL,
         "leakage_safe_split": _leakage_split_oracle_sql(),
         "url_dedup": _url_dedup_oracle_sql(),
+        "domain_filter": _domain_filter_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

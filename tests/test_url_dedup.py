@@ -98,3 +98,57 @@ def test_url_dup_groups(spark):
         assert out[i].canonical_id == 10
         assert out[i].group_size == 3
     assert out[20].canonical_id == 20 and out[20].group_size == 1
+
+
+def test_extract_host(spark):
+    from rust_gd_spark.operators.domainfilter import extract_host
+
+    rows = [
+        (0, "HTTP://WWW.Ex.COM:80/p?q=1", "ex.com"),
+        (1, "https://a.b.example.org/x", "a.b.example.org"),
+        (2, "no-scheme/path", ""),
+        (3, None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in rows], "i int, url string"
+    )
+    got = {r.i: r.h for r in df.select("i", extract_host(F.col("url")).alias("h")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want
+
+
+def test_domain_filter_gate(spark):
+    from rust_gd_spark.operators import domainfilter
+
+    # host a: 4 docs, 1 fails -> ratio 0.75 (dropped at 0.8)
+    # host b: 4 docs, all keep -> ratio 1.0 (kept)
+    # host c: 1 doc, keeps    -> dropped by min_docs=2
+    rows = (
+        [(i, "https://a.com/p%d" % i, i != 0) for i in range(4)]
+        + [(i + 10, "https://b.com/p%d" % i, True) for i in range(4)]
+        + [(20, "https://c.com/only", True)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, keep boolean")
+    out = domainfilter.domain_filter(
+        df, min_keep_ratio=0.8, min_docs=2
+    ).collect()
+    assert {r.doc_id for r in out} == {10, 11, 12, 13}
+    assert all(r.host == "b.com" and r.keep_ratio == 1.0 for r in out)
+    # stats are exact-integer derived
+    st = {r.host: r for r in domainfilter.host_stats(df).collect()}
+    assert st["a.com"].host_docs == 4 and st["a.com"].host_keep_docs == 3
+    assert st["a.com"].keep_ratio == 0.75
+    # individually-passing docs on the failing host are dropped
+    assert 1 not in {r.doc_id for r in out}
+
+
+def test_domain_filter_validation(spark):
+    from rust_gd_spark.operators import domainfilter
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", True)], "doc_id long, url string, keep boolean"
+    )
+    with pytest.raises(ValueError):
+        domainfilter.domain_filter(df, min_keep_ratio=1.5)
+    with pytest.raises(ValueError):
+        domainfilter.domain_filter(df, min_docs=0)
