@@ -79,6 +79,14 @@ def domain_filter(
         raise ValueError(f"min_keep_ratio must be in [0,1]: {min_keep_ratio}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    # the annotation columns would silently clobber caller data
+    # (withColumn overwrite) or make the join-back ambiguous
+    reserved = {"host", "host_docs", "host_keep_docs", "keep_ratio"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with domain_filter outputs: {sorted(clash)}"
+        )
     hosted = df.withColumn("host", extract_host(F.col(url_col)))
     stats = host_stats(df, url_col, keep_col)
     return hosted.join(stats, "host").filter(

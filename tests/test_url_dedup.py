@@ -152,3 +152,14 @@ def test_domain_filter_validation(spark):
         domainfilter.domain_filter(df, min_keep_ratio=1.5)
     with pytest.raises(ValueError):
         domainfilter.domain_filter(df, min_docs=0)
+
+
+def test_domain_filter_rejects_reserved_columns(spark):
+    from rust_gd_spark.operators import domainfilter
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", True, "h")],
+        "doc_id long, url string, keep boolean, host string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        domainfilter.domain_filter(df)
