@@ -163,3 +163,45 @@ def test_domain_filter_rejects_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         domainfilter.domain_filter(df)
+
+
+def test_canonicalize_fuzz_dialect_parity(spark):
+    """Batched deterministic fuzz over URL-ish ASCII strings: the
+    Java-regex (Spark) and RE2 (DuckDB) canonicalization chains must
+    agree byte-for-byte on the full printable-ASCII URL space — hosts,
+    ports, params, fragments, regex metacharacters, debris. One
+    DataFrame + one DuckDB query, not per-example sessions."""
+    import random
+
+    rng = random.Random(1337)
+    schemes = ["https://", "http://", "HTTP://", "HtTpS://", "", "ftp://"]
+    hosts = ["Ex.COM", "www.ex.com", "WWW.EX.COM", "a.b.c.org", "ex.com:443",
+             "ex.com:80", "ex.com:8080", "ex.com:", "127.0.0.1", ""]
+    paths = ["", "/", "/P/x", "/a//b/", "/a.b(c)", "/%7Euser", "/..", "///"]
+    params = ["", "?", "?q=1", "?utm_source=a", "?UTM_SOURCE=a", "?q=1&utm_x=2",
+              "?utm_a=1&utm_b=2&r=3", "?gclid=x&fbclid=y", "?a=b&&c=d",
+              "?q=a+b%26c", "?&", "?utm_", "?utm_1=2"]
+    frags = ["", "#", "#f", "#a#b", "#?q=1", "#frag/"]
+    urls = []
+    for i in range(400):
+        u = (rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+             + rng.choice(params) + rng.choice(frags))
+        if i % 17 == 0:
+            u = " " + u + " "
+        urls.append((i, u))
+    df = spark.createDataFrame(urls, "i int, url string")
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", urldedup.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(urls, columns=["i", "url"]))
+    twin = con.execute(
+        f"select i, {urldedup.canonicalize_url_sql('url')} as c from u"
+    ).fetchall()
+    mismatches = [
+        (i, urls[i][1], got[i], c) for i, c in twin if c != got[i]
+    ]
+    assert not mismatches, f"{len(mismatches)} dialect drifts: {mismatches[:5]}"
