@@ -1418,6 +1418,27 @@ def _q_url_dedup(spark, sf_dir):
     )
 
 
+def _q_cdc_dedup_rewrite(spark, sf_dir):
+    """Duplicate-span REMOVAL (Lee et al. 2022 at CDC-chunk
+    granularity): occurrences that aren't their hash's canonical first
+    occurrence are cut, each doc's survivors reassemble in chunk order —
+    the rewrite step the detection operators (substring_pairs,
+    cdc_chunk_store) feed. Keep decision is a join against the chunk
+    store (skew-safe), never a per-hash window. Oracle compares the
+    REWRITTEN TEXT byte-for-byte."""
+    from rust_gd_spark.operators.cdc import cdc_chunks, cdc_dedup_rewrite
+
+    c = cdc_chunks(
+        _docs(spark, sf_dir), "doc_id", "text",
+        divisor=CDC_DIVISOR, gram=CDC_GRAM,
+    )
+    return cdc_dedup_rewrite(c).select(
+        F.col("id").alias("doc_id"),
+        "deduped_text",
+        "chunks_kept", "chunks_dropped", "tokens_kept", "tokens_dropped",
+    )
+
+
 def _q_domain_filter(spark, sf_dir):
     """Host-level aggregate gate (the CCNet/RefinedWeb domain-filter
     stage): a document is kept only if its HOST's keep ratio passes —
@@ -1564,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "url_dedup": _q_url_dedup,
         "domain_filter": _q_domain_filter,
+        "cdc_dedup_rewrite": _q_cdc_dedup_rewrite,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -2319,6 +2341,18 @@ def _cdc_chunk_store_oracle_sql() -> str:
     """
 
 
+def _cdc_dedup_rewrite_oracle_sql() -> str:
+    from rust_gd_spark.operators.cdc import cdc_chunks_sql, cdc_dedup_rewrite_sql
+
+    inner = cdc_chunks_sql("documents", "doc_id", "text", CDC_DIVISOR, CDC_GRAM)
+    body = cdc_dedup_rewrite_sql(inner)
+    return f"""
+        select id as doc_id, deduped_text,
+               chunks_kept, chunks_dropped, tokens_kept, tokens_dropped
+        from ({body})
+    """
+
+
 def _cdc_delta_oracle_sql() -> str:
     from rust_gd_spark.operators.cdc import cdc_chunks_sql, cdc_delta_sql
 
@@ -2548,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_chunks_oracle_sql(),
         "cdc_chunk_store": _cdc_chunk_store_oracle_sql(),
         "cdc_delta": _cdc_delta_oracle_sql(),
+        "cdc_dedup_rewrite": _cdc_dedup_rewrite_oracle_sql(),
         "xent_mixture_sample": _xent_mixture_oracle_sql(),
         "corpus_profile": _corpus_profile_oracle_sql(),
         "training_shuffle": _training_shuffle_oracle_sql(),

@@ -254,6 +254,8 @@ def main() -> None:
           lambda: _force(q["leakage_safe_split"](spark, sf_dir)))
     timed("url_dedup", lambda: _force(q["url_dedup"](spark, sf_dir)))
     timed("domain_filter", lambda: _force(q["domain_filter"](spark, sf_dir)))
+    timed("cdc_dedup_rewrite",
+          lambda: _force(q["cdc_dedup_rewrite"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))

@@ -290,3 +290,90 @@ def cdc_delta_sql(new_chunks_sql: str, old_chunks_sql: str) -> str:
         from nc left join oc using (chunk_hash)
         group by nc.id
     """
+
+
+def cdc_dedup_rewrite(chunks: DataFrame) -> DataFrame:
+    """Duplicate-SPAN removal (Lee et al. 2022's "deduplicating training
+    data" step at CDC-chunk granularity): every chunk occurrence that is
+    not its hash's canonical first occurrence — lexicographic
+    ``min(id, chunk_idx)``, the same survivorship rule as
+    :func:`cdc_chunk_store` — is cut, and each document's surviving
+    chunks reassemble in ``chunk_idx`` order. Later documents lose the
+    spans they repeat from earlier ones (and a doc repeating its own
+    chunk loses the repeat); the first occurrence always survives, so
+    every distinct chunk remains in the corpus exactly once.
+
+    Returns one row per input document (docs whose every chunk was seen
+    earlier keep an empty ``deduped_text``): ``(id, deduped_text,
+    chunks_kept, chunks_dropped, tokens_kept, tokens_dropped)``.
+    ``deduped_text`` is in the chunker's NORMALIZED token space
+    (lowercased, punctuation folded — see ``cdc_chunks``), the form
+    training-corpus dedup operates on.
+
+    Plan shape: the keep decision is an equi-JOIN against the two-shuffle
+    chunk store, not a window over ``chunk_hash`` — a boilerplate
+    mega-chunk (10⁹ copies of one hash) stays AQE-skew-splittable,
+    where a per-hash window would pin one task. Reassembly is one
+    ``groupBy(id)``; the per-doc sort/extract runs on ~chunks-per-doc
+    elements (interpreted HOFs are fine off the per-token path).
+    """
+    store = cdc_chunk_store(chunks).select(
+        "chunk_hash", "first_id", "first_chunk_idx"
+    )
+    occ = chunks.join(store, "chunk_hash")
+    kept = (F.col("id") == F.col("first_id")) & (
+        F.col("chunk_idx") == F.col("first_chunk_idx")
+    )
+    return (
+        occ.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("chunk_idx", "chunk_text"))
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("chunks_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).alias("chunks_dropped"),
+            F.sum(F.when(kept, F.col("chunk_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+            F.sum(F.when(kept, 0).otherwise(F.col("chunk_tokens"))).alias(
+                "tokens_dropped"
+            ),
+        )
+    )
+
+
+def cdc_dedup_rewrite_sql(chunks_sql: str) -> str:
+    """DuckDB twin of :func:`cdc_dedup_rewrite` over a ``cdc_chunks_sql``
+    body. The canonical pick uses the nonneg-bigint integer encoding
+    (valid for the oracle fixture's doc_id; the engine side uses
+    ``min(struct)`` and is id-type-agnostic)."""
+    return f"""
+        with occ as (
+          select id, chunk_idx, chunk_text, chunk_tokens,
+                 min(id * 1000000000 + chunk_idx)
+                   over (partition by chunk_hash)
+                   = id * 1000000000 + chunk_idx as kept
+          from ({chunks_sql})
+        )
+        select id,
+               coalesce(string_agg(case when kept then chunk_text end,
+                                   ' ' order by chunk_idx), '')
+                 as deduped_text,
+               sum(case when kept then 1 else 0 end)::bigint as chunks_kept,
+               sum(case when kept then 0 else 1 end)::bigint
+                 as chunks_dropped,
+               sum(case when kept then chunk_tokens else 0 end)::bigint
+                 as tokens_kept,
+               sum(case when kept then 0 else chunk_tokens end)::bigint
+                 as tokens_dropped
+        from occ
+        group by id
+    """

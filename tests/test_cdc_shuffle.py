@@ -341,3 +341,66 @@ def test_corpus_profile_approx_distinct_swap(spark):
     }
     for s in exact:
         assert abs(approx[s] - exact[s]) / exact[s] <= 0.05
+
+
+# ---------------------------------------------------------------------------
+# cdc_dedup_rewrite (duplicate-span removal)
+# ---------------------------------------------------------------------------
+
+def test_cdc_dedup_rewrite_semantics(spark, cdc_docs):
+    from rust_gd_spark.operators.cdc import cdc_chunks, cdc_dedup_rewrite
+
+    chunks = cdc_chunks(cdc_docs, "doc_id", "text", divisor=4, gram=2)
+    out = {r.id: r for r in cdc_dedup_rewrite(chunks).collect()}
+    # one row per doc that produced chunks (NULL/empty docs produce the
+    # single empty chunk, so every doc appears)
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6}
+    # doc 0 is first lexicographically: it keeps everything
+    assert out[0].chunks_dropped == 0
+    norm0 = out[0].deduped_text
+    assert norm0  # non-empty normalized text
+    # doc 2 (exact dup of doc 0, higher id) loses EVERY chunk
+    assert out[2].chunks_kept == 0
+    assert out[2].deduped_text == ""
+    assert out[2].tokens_kept == 0
+    # doc 3 = doc 0 with one token prepended: CDC locality — only the
+    # chunk(s) containing the perturbation survive, the re-synced tail
+    # is cut as duplicate of doc 0's chunks
+    assert 0 < out[3].chunks_kept < out[3].chunks_kept + out[3].chunks_dropped
+    assert "zulu" in out[3].deduped_text
+    # corpus-level invariant: every distinct chunk hash survives exactly once
+    kept_total = sum(r.chunks_kept for r in out.values())
+    n_distinct = chunks.select("chunk_hash").distinct().count()
+    assert kept_total == n_distinct
+    # token accounting closes per doc
+    per_doc_tokens = {
+        r["id"]: r["s"]
+        for r in chunks.groupBy("id").agg(
+            F.sum("chunk_tokens").alias("s")
+        ).collect()
+    }
+    for i, r in out.items():
+        assert r.tokens_kept + r.tokens_dropped == per_doc_tokens[i]
+
+
+def test_cdc_dedup_rewrite_matches_duckdb_twin(spark, cdc_docs):
+    from rust_gd_spark.operators.cdc import (
+        cdc_chunks, cdc_chunks_sql, cdc_dedup_rewrite, cdc_dedup_rewrite_sql,
+    )
+
+    got = {
+        r.id: (r.deduped_text, r.chunks_kept, r.tokens_dropped)
+        for r in cdc_dedup_rewrite(
+            cdc_chunks(cdc_docs, "doc_id", "text", divisor=4, gram=2)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", cdc_docs.toPandas())
+    twin = con.execute(
+        cdc_dedup_rewrite_sql(
+            cdc_chunks_sql("documents", "doc_id", "text", 4, 2)
+        )
+    ).fetchall()
+    assert len(twin) == len(got)
+    for id_, text, kept, _dropped, _tk, td in twin:
+        assert got[id_] == (text, kept, td), f"doc {id_} drifts"
