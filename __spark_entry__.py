@@ -838,6 +838,81 @@ def _q_conversation_dup_clusters(spark, sf_dir):
     ).select(F.col("id").alias("conv"), "cluster_id")
 
 
+def _aug_retry_turns(spark, sf_dir):
+    """Transcripts + PLANTED consecutive-duplicate turns (the synthetic
+    corpus has no adjacent repeats — every turn is a distinct document).
+    Base turns sit at ``turn_idx*3`` so plants slot between them;
+    conditions are disjoint by ``num % 3``:
+
+    * ``num % 3 == 0``, ``tid % 4 == 1``: one retry copy (run of 2);
+    * ``num % 3 == 1``, ``tid % 5 == 2``: two copies (run of 3 — a loop).
+    """
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    num = F.substring("conv_id", 6, 4).cast("int")
+    base = tr.select(
+        "conv_id", (F.col("turn_idx") * 3).alias("turn_idx"), "role", "text"
+    )
+    retry = tr.filter((num % 3 == 0) & (F.col("turn_idx") % 4 == 1)).select(
+        "conv_id", (F.col("turn_idx") * 3 + 1).alias("turn_idx"), "role", "text"
+    )
+    loop2 = tr.filter((num % 3 == 1) & (F.col("turn_idx") % 5 == 2))
+    loop_a = loop2.select(
+        "conv_id", (F.col("turn_idx") * 3 + 1).alias("turn_idx"), "role", "text"
+    )
+    loop_b = loop2.select(
+        "conv_id", (F.col("turn_idx") * 3 + 2).alias("turn_idx"), "role", "text"
+    )
+    return base.unionByName(retry).unionByName(loop_a).unionByName(loop_b)
+
+
+def _q_turn_retry_collapse(spark, sf_dir):
+    """Consecutive-duplicate turn removal (retry/stutter collapse) with
+    dense re-indexing — `operators/turns.py` `collapse_retry_turns`."""
+    from rust_gd_spark.operators.turns import collapse_retry_turns
+
+    return collapse_retry_turns(_aug_retry_turns(spark, sf_dir))
+
+
+def _q_turn_loop_stats(spark, sf_dir):
+    """Per-conversation agent-loop statistics (max consecutive-repeat
+    run, loop-turn fraction) — `operators/turns.py` `turn_loop_stats`."""
+    from rust_gd_spark.operators.turns import turn_loop_stats
+
+    return turn_loop_stats(_aug_retry_turns(spark, sf_dir), min_run=2)
+
+
+def _aug_prefix_conversations(spark, sf_dir):
+    """Transcripts + PLANTED prefix duplicates: ``-copy`` (num % 6 == 0)
+    re-logs the whole conversation (equal sequence — tie rule picks the
+    copy as dup); ``-fork`` (num % 4 == 0) keeps the first 5 turns (a
+    strict prefix wherever conversations run longer than 5 turns)."""
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    num = F.substring("conv_id", 6, 4).cast("int")
+    copy = tr.filter(num % 6 == 0).select(
+        F.concat("conv_id", F.lit("-copy")).alias("conv_id"),
+        "turn_idx", "role", "text",
+    )
+    fork = tr.filter((num % 4 == 0) & (F.col("turn_idx") < 5)).select(
+        F.concat("conv_id", F.lit("-fork")).alias("conv_id"),
+        "turn_idx", "role", "text",
+    )
+    return tr.unionByName(copy).unionByName(fork)
+
+
+def _q_prefix_dup_conversations(spark, sf_dir):
+    """Forked / re-logged session detection: conversations whose entire
+    turn sequence prefixes another's — `operators/turns.py`
+    `prefix_dup_conversations` (chained md5 prefix hashes, one
+    equi-join)."""
+    from rust_gd_spark.operators.turns import prefix_dup_conversations
+
+    return prefix_dup_conversations(_aug_prefix_conversations(spark, sf_dir))
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1586,6 +1661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "domain_filter": _q_domain_filter,
         "cdc_dedup_rewrite": _q_cdc_dedup_rewrite,
+        # new in round 5 (final session): transcript-native turn-level ops
+        "turn_retry_collapse": _q_turn_retry_collapse,
+        "turn_loop_stats": _q_turn_loop_stats,
+        "prefix_dup_conversations": _q_prefix_dup_conversations,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -2430,6 +2509,144 @@ def _dsir_oracle_sql() -> str:
     return f"select id as doc_id, n_ngrams, logw from ({inner})"
 
 
+# Transcripts-from-docs in DuckDB form (twin of _transcripts_from_docs),
+# with the conv number and 0-based in-conversation position exposed for
+# the plant predicates.
+_TURNS_BASE_SQL = """
+  select printf('conv-%04d', (doc_id % 50)::int) as conv_id,
+         (doc_id % 50)::int as num,
+         (row_number() over (partition by doc_id % 50 order by doc_id) - 1)::int
+           as tid,
+         (['user','assistant','tool'])[(doc_id % 3 + 1)::int] as role,
+         text
+  from documents
+"""
+
+# Twin of _aug_retry_turns: base at tid*3; one retry copy for
+# num%3==0 & tid%4==1; two copies (run of 3) for num%3==1 & tid%5==2.
+_AUG_RETRY_SQL = f"""
+  with tr as ({_TURNS_BASE_SQL})
+  select conv_id, tid * 3 as turn_idx, role, text from tr
+  union all
+  select conv_id, tid * 3 + 1, role, text from tr
+  where num % 3 = 0 and tid % 4 = 1
+  union all
+  select conv_id, tid * 3 + 1, role, text from tr
+  where num % 3 = 1 and tid % 5 = 2
+  union all
+  select conv_id, tid * 3 + 2, role, text from tr
+  where num % 3 = 1 and tid % 5 = 2
+"""
+
+# Shared island encoding for the retry/loop oracles: the (role,text)
+# key, its lag, and the running change-count (island id).
+_RETRY_KEYED_SQL = f"""
+  keyed as (
+    select conv_id, turn_idx, role, text,
+           coalesce(role, '') || chr(31) || coalesce(text, '') as ck,
+           lag(coalesce(role, '') || chr(31) || coalesce(text, ''))
+             over (partition by conv_id order by turn_idx) as pk
+    from ({_AUG_RETRY_SQL})
+  )
+"""
+
+
+def _turn_retry_collapse_oracle_sql() -> str:
+    return f"""
+        with {_RETRY_KEYED_SQL},
+        kept as (
+          select conv_id, turn_idx, role, text
+          from keyed where pk is null or ck != pk
+        )
+        select conv_id, turn_idx,
+               (row_number() over (partition by conv_id order by turn_idx)
+                - 1)::int as new_turn_idx,
+               role, text
+        from kept
+    """
+
+
+def _turn_loop_stats_oracle_sql() -> str:
+    return f"""
+        with {_RETRY_KEYED_SQL},
+        isl as (
+          select conv_id,
+                 sum(case when pk is null or ck != pk then 1 else 0 end)
+                   over (partition by conv_id order by turn_idx
+                         rows between unbounded preceding and current row)
+                   as island
+          from keyed
+        ),
+        runs as (
+          select conv_id, island, count(*)::bigint as run_len
+          from isl group by 1, 2
+        )
+        select conv_id,
+               sum(run_len)::bigint as n_turns,
+               max(run_len)::bigint as max_run,
+               sum(case when run_len >= 2 then 1 else 0 end)::bigint
+                 as n_loop_runs,
+               sum(case when run_len >= 2 then run_len else 0 end)::bigint
+                 as n_loop_turns,
+               round(sum(case when run_len >= 2 then run_len else 0 end)
+                     / sum(run_len)::double, 6) as loop_turn_frac,
+               max(run_len) >= 2 as is_looping
+        from runs group by conv_id
+    """
+
+
+def _prefix_dup_oracle_sql() -> str:
+    # Twin of _aug_prefix_conversations + prefix_dup_conversations: the
+    # md5 chain over per-turn md5(role||US||text) reproduces the Spark
+    # side bit-for-bit (both engines emit lowercase hex).
+    return f"""
+        with tr as ({_TURNS_BASE_SQL}),
+        aug as (
+          select conv_id, tid as turn_idx, role, text from tr
+          union all
+          select conv_id || '-copy', tid, role, text from tr where num % 6 = 0
+          union all
+          select conv_id || '-fork', tid, role, text from tr
+          where num % 4 = 0 and tid < 5
+        ),
+        t as (
+          select conv_id,
+                 row_number() over (partition by conv_id order by turn_idx)
+                   as depth,
+                 md5(coalesce(role, '') || chr(31) || coalesce(text, '')) as h
+          from aug
+        ),
+        pref as (
+          select conv_id, depth,
+                 md5(string_agg(h, '')
+                     over (partition by conv_id order by depth
+                           rows between unbounded preceding and current row))
+                   as chain
+          from t
+        ),
+        fullc as (
+          select conv_id, max(depth)::int as conv_turns,
+                 max_by(chain, depth) as full_hash
+          from pref group by 1
+        ),
+        cand as (
+          select f.conv_id as dup_conv, p.conv_id as host_conv,
+                 f.conv_turns as shared_turns
+          from fullc f
+          join pref p
+            on f.full_hash = p.chain and f.conv_turns = p.depth
+           and f.conv_id != p.conv_id
+        )
+        select c.dup_conv, c.host_conv,
+               c.shared_turns::int as shared_turns,
+               h.conv_turns::int as host_turns,
+               c.shared_turns = h.conv_turns as full_equal
+        from cand c join fullc h on c.host_conv = h.conv_id
+        where c.shared_turns < h.conv_turns
+           or (c.shared_turns = h.conv_turns and c.dup_conv > c.host_conv)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from rust_gd_spark.operators.sampling import weighted_sample_sql
 
@@ -2583,6 +2800,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_store": _cdc_chunk_store_oracle_sql(),
         "cdc_delta": _cdc_delta_oracle_sql(),
         "cdc_dedup_rewrite": _cdc_dedup_rewrite_oracle_sql(),
+        "turn_retry_collapse": _turn_retry_collapse_oracle_sql(),
+        "turn_loop_stats": _turn_loop_stats_oracle_sql(),
+        "prefix_dup_conversations": _prefix_dup_oracle_sql(),
         "xent_mixture_sample": _xent_mixture_oracle_sql(),
         "corpus_profile": _corpus_profile_oracle_sql(),
         "training_shuffle": _training_shuffle_oracle_sql(),

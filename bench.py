@@ -256,6 +256,12 @@ def main() -> None:
     timed("domain_filter", lambda: _force(q["domain_filter"](spark, sf_dir)))
     timed("cdc_dedup_rewrite",
           lambda: _force(q["cdc_dedup_rewrite"](spark, sf_dir)))
+    timed("turn_retry_collapse",
+          lambda: _force(q["turn_retry_collapse"](spark, sf_dir)))
+    timed("turn_loop_stats",
+          lambda: _force(q["turn_loop_stats"](spark, sf_dir)))
+    timed("prefix_dup_conversations",
+          lambda: _force(q["prefix_dup_conversations"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))
