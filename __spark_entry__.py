@@ -1630,6 +1630,77 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_cluster_deltas(spark, sf_dir):
+    """Generalized-dedup ENCODING of the near-dup clusters — the
+    reference's base+deviation record stream (`src/lib.rs:90-94`,
+    `src/separator.rs:4-26`) at document granularity: per cluster the
+    representative is stored once in full (kind='base', the AsIs
+    record), every other member as (rep_id, common-prefix len,
+    common-suffix-of-remainders len, middle deviation) — losslessly
+    reconstructible by `delta_decode` from the encoded table alone.
+    Runs the oracle-shaped pipeline config of `transcript_clusters`;
+    the oracle recomputes p/s with monotone substr-equality counts."""
+    from rust_gd_spark.operators.deltaenc import cluster_delta_encode
+    from rust_gd_spark.pipeline import (
+        DedupConfig, canonical_clusters, near_dup_pipeline, with_turn_uid,
+    )
+
+    tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir))
+    res = near_dup_pipeline(
+        tr, "uid", "text",
+        DedupConfig(
+            jaccard_threshold=0.5, min_substring_len=120,
+            enable_simhash=False, neighbor_window=None,
+        ),
+    )
+    return cluster_delta_encode(
+        canonical_clusters(res.clusters), tr, "uid", "text"
+    )
+
+
+def _q_dedup_funnel(spark, sf_dir):
+    """Tiered dedup accounting — the round's tier-dedup shape end to
+    end: URL canonical dedup (pure codegen) → exact content dedup (one
+    hash agg) → near-dup clustering (the audited pipeline), each tier
+    over the previous tier's survivors, one exact-count row per tier.
+    URLs are the planted crawl fixture of `url_dedup` (4 surface forms
+    per page + singletons). Oracle: the same three tiers as chained
+    CTEs with the recursive-closure component count."""
+    from rust_gd_spark.operators.funnel import dedup_funnel
+    from rust_gd_spark.pipeline import DedupConfig
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.expr(_planted_urls_expr("div")).alias("url"),
+        "text",
+    )
+    return dedup_funnel(
+        d, "id", "text", url_col="url",
+        config=DedupConfig(
+            jaccard_threshold=0.5, min_substring_len=120,
+            enable_simhash=False, neighbor_window=None,
+        ),
+    )
+
+
+def _q_key_skew_profile(spark, sf_dir):
+    """Hot-key diagnostics over the planted crawl hosts: top-15 hosts by
+    row count with exact integer-ppm shares and cumulative
+    concentration — the report every salting/cap decision in this
+    engine starts from (`_buckets.py`, AQE skew pins). One partial+final
+    agg + TakeOrderedAndProject; the window runs over the 15 retained
+    rows only."""
+    from rust_gd_spark.operators.domainfilter import extract_host
+    from rust_gd_spark.operators.skew import key_skew_profile
+
+    hosts = _docs(spark, sf_dir).select(
+        extract_host(F.expr(_planted_urls_expr("div"))).alias("host")
+    )
+    return key_skew_profile(hosts, "host", top_n=15).withColumnRenamed(
+        "key", "host"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order is load-bearing: the driver's correctness pass has a time
@@ -1665,6 +1736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_retry_collapse": _q_turn_retry_collapse,
         "turn_loop_stats": _q_turn_loop_stats,
         "prefix_dup_conversations": _q_prefix_dup_conversations,
+        # new in round 5 (session 2): GD cluster encoding, tier funnel,
+        # skew diagnostics
+        "cluster_deltas": _q_cluster_deltas,
+        "dedup_funnel": _q_dedup_funnel,
+        "key_skew_profile": _q_key_skew_profile,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -2092,6 +2168,168 @@ def _leakage_split_oracle_sql() -> str:
     return f"""
         select id, cluster_id, {split} as split
         from ({_CLUSTERS_SQL}) clustered
+    """
+
+
+def _cluster_deltas_oracle_sql() -> str:
+    # p = longest common prefix of member a / rep b, s = longest common
+    # suffix of the post-prefix remainders. Both are monotone in their
+    # index (a longer equal prefix/suffix implies all shorter ones), so
+    # count(*) over the equality predicate IS the max length — the
+    # correlated scalar form runs only on delta rows (a few dozen).
+    return f"""
+        with clus as ({_CLUSTERS_SQL}),
+        txt as (
+          select {_UID_SQL} as uid, coalesce(text, '') as txt,
+                 octet_length(encode(coalesce(text, ''))) as nb
+          from documents
+        ),
+        mem as (
+          select c.cluster_id, c.id, t.txt, t.nb
+          from clus c join txt t on t.uid = c.id
+        ),
+        rk as (
+          select cluster_id, id, txt, nb,
+                 row_number() over (partition by cluster_id
+                                    order by nb desc, id) as r
+          from mem
+        ),
+        reps as (
+          select cluster_id, id as rep_id, txt as rep_txt from rk where r = 1
+        ),
+        m as (
+          select k.id, k.cluster_id, p.rep_id, k.txt as a, p.rep_txt as b
+          from rk k join reps p using (cluster_id)
+        ),
+        base as (
+          select id, cluster_id, rep_id, 'base' as kind,
+                 0::bigint as prefix_chars, 0::bigint as suffix_chars,
+                 a as deviation,
+                 length(a)::bigint as orig_chars,
+                 length(a)::bigint as dev_chars
+          from m where id = rep_id
+        ),
+        mdelta as (select * from m where id <> rep_id),
+        nums as (
+          select unnest(range(
+            1, coalesce((select max(length(txt)) from txt), 0) + 1
+          )) as i
+        ),
+        p1 as (
+          select d.id, count(*) as p
+          from mdelta d join nums n
+            on n.i <= least(length(d.a), length(d.b))
+           and substr(d.a, 1, n.i::int) = substr(d.b, 1, n.i::int)
+          group by d.id
+        ),
+        ps as (
+          select d.*, coalesce(p1.p, 0) as p
+          from mdelta d left join p1 using (id)
+        ),
+        s1 as (
+          select d.id, count(*) as s
+          from ps d join nums n
+            on n.i <= least(length(d.a), length(d.b)) - d.p
+           and right(substr(d.a, d.p::int + 1), n.i::int)
+             = right(substr(d.b, d.p::int + 1), n.i::int)
+          group by d.id
+        ),
+        ps2 as (
+          select d.*, coalesce(s1.s, 0) as s from ps d left join s1 using (id)
+        ),
+        delta as (
+          select id, cluster_id, rep_id, 'delta' as kind,
+                 p::bigint as prefix_chars, s::bigint as suffix_chars,
+                 substr(a, p::int + 1,
+                        greatest(length(a) - p - s, 0)::int) as deviation,
+                 length(a)::bigint as orig_chars,
+                 (length(a) - p - s)::bigint as dev_chars
+          from ps2
+        )
+        select * from base union all select * from delta
+    """
+
+
+def _dedup_funnel_oracle_sql() -> str:
+    from rust_gd_spark.operators.urldedup import canonicalize_url_sql
+
+    return f"""
+        with recursive t0 as (
+          select doc_id, ({_planted_urls_expr("//")}) as url, text
+          from documents
+        ),
+        keyed as (
+          select doc_id, {canonicalize_url_sql("url")} as cu from t0
+        ),
+        s1 as (select min(doc_id) as doc_id from keyed group by cu),
+        d1 as (select t0.doc_id, t0.text from t0 join s1 using (doc_id)),
+        e as (
+          select min(doc_id) as doc_id from d1
+          group by md5(coalesce(text, ''))
+        ),
+        d2 as (select d1.doc_id, d1.text from d1 join e using (doc_id)),
+        sh as (select doc_id, unnest({_SHINGLES}) as s from d2),
+        dsh as (select distinct doc_id, s from sh),
+        sizes as (select doc_id, count(*) as n from dsh group by doc_id),
+        common as (
+          select l.doc_id as a, r.doc_id as b, count(*) as c
+          from dsh l join dsh r on l.s = r.s and l.doc_id < r.doc_id
+          group by 1, 2
+        ),
+        jac as (
+          select c.a, c.b from common c
+          join sizes sl on sl.doc_id = c.a
+          join sizes sr on sr.doc_id = c.b
+          where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
+        ),
+        wins as (
+          select distinct doc_id, md5(substr(text, i, 120)) as h
+          from d2, unnest(range(1, length(text) - 118)) as t(i)
+          where length(text) >= 120
+        ),
+        sub as (
+          select l.doc_id as a, r.doc_id as b
+          from wins l join wins r on l.h = r.h and l.doc_id < r.doc_id
+          group by 1, 2
+        ),
+        edges as (select a, b from jac union select a, b from sub),
+        sym as (select a, b from edges union select b as a, a as b from edges),
+        reach(src, dst) as (
+          select doc_id, doc_id from d2
+          union
+          select r.src, s2.b from reach r join sym s2 on r.dst = s2.a
+        ),
+        comp as (select src, min(dst) as root from reach group by src),
+        counts as (
+          select (select count(*) from t0) as n0,
+                 (select count(*) from d1) as n1,
+                 (select count(*) from d2) as n2,
+                 (select count(distinct root) from comp) as n3
+        )
+        select 1::bigint as tier_idx, 'url' as tier, n0::bigint as docs_in,
+               (n0 - n1)::bigint as docs_removed, n1::bigint as docs_out
+        from counts
+        union all
+        select 2::bigint, 'exact', n1::bigint, (n1 - n2)::bigint, n2::bigint
+        from counts
+        union all
+        select 3::bigint, 'near_dup', n2::bigint, (n2 - n3)::bigint,
+               n3::bigint
+        from counts
+    """
+
+
+def _key_skew_oracle_sql() -> str:
+    from rust_gd_spark.operators.domainfilter import extract_host_sql
+    from rust_gd_spark.operators.skew import key_skew_profile_sql
+
+    host_expr = extract_host_sql(f"({_planted_urls_expr('//')})")
+    src = f"select {host_expr} as host from documents"
+    inner = key_skew_profile_sql(src, "host", top_n=15)
+    return f"""
+        select rank, key as host, cnt, total_rows, distinct_keys,
+               share_ppm, cum_share_ppm
+        from ({inner}) profiled
     """
 
 
@@ -2844,6 +3082,9 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _leakage_split_oracle_sql(),
         "url_dedup": _url_dedup_oracle_sql(),
         "domain_filter": _domain_filter_oracle_sql(),
+        "cluster_deltas": _cluster_deltas_oracle_sql(),
+        "dedup_funnel": _dedup_funnel_oracle_sql(),
+        "key_skew_profile": _key_skew_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -59,12 +59,15 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    import time as _time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.monotonic()
         sdf = fn(spark, sf_dir).toPandas()
+        _el = _time.monotonic() - _t0
         if name not in oracles:
-            print(f"{name:24s} rows-only: {len(sdf)} rows, cols={list(sdf.columns)}")
+            print(f"{name:24s} rows-only: {len(sdf)} rows, cols={list(sdf.columns)}  [{_el:.2f}s]")
             continue
         ddf = con.execute(oracles[name]).fetchdf()
         ok_rows = len(sdf) == len(ddf)
@@ -90,6 +93,7 @@ def main() -> int:
             f"{name:24s} {status}  rows {len(sdf)}/{len(ddf)}"
             + ("" if ok_cols else f"  COLS {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
             + ("" if ok_hash else "  HASH-MISMATCH")
+            + f"  [{_el:.2f}s]"
         )
         if status == "FAIL":
             failures += 1
