@@ -913,6 +913,55 @@ def _q_prefix_dup_conversations(spark, sf_dir):
     return prefix_dup_conversations(_aug_prefix_conversations(spark, sf_dir))
 
 
+def _aug_tool_rerun_conversations(spark, sf_dir):
+    """Transcripts + PLANTED tool-output-variant re-runs (agent sessions
+    re-executed against live tools differ only in tool-turn text). Two
+    disjoint plants per ``num % 4``:
+
+    * ``-rerun`` (num % 4 == 1): tool-role turns get deterministic
+      request-id noise appended — a tool-masked dup of the base, NOT an
+      exact dup;
+    * ``-edit`` (num % 4 == 2): USER-role turns edited — must NOT group
+      with the base (the mask only forgives tool output).
+    """
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    num = F.substring("conv_id", 6, 4).cast("int")
+    rerun = tr.filter(num % 4 == 1).select(
+        F.concat("conv_id", F.lit("-rerun")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("role") == "tool",
+            F.concat(F.col("text"), F.lit(" req="), F.col("turn_idx").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+    )
+    edit = tr.filter(num % 4 == 2).select(
+        F.concat("conv_id", F.lit("-edit")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(F.col("role") == "user", F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+    )
+    return tr.unionByName(rerun).unionByName(edit)
+
+
+def _q_tool_masked_dups(spark, sf_dir):
+    """Tool-masked conversation dedup: re-runs identical modulo
+    nondeterministic tool-turn output group together —
+    `operators/convdedup.py` `tool_masked_dup_groups` (one partial-agg
+    shuffle + the exactdup agg-join shape)."""
+    from rust_gd_spark.operators.convdedup import tool_masked_dup_groups
+
+    return tool_masked_dup_groups(_aug_tool_rerun_conversations(spark, sf_dir))
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1736,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_retry_collapse": _q_turn_retry_collapse,
         "turn_loop_stats": _q_turn_loop_stats,
         "prefix_dup_conversations": _q_prefix_dup_conversations,
+        "tool_masked_dups": _q_tool_masked_dups,
         # new in round 5 (session 2): GD cluster encoding, tier funnel,
         # skew diagnostics
         "cluster_deltas": _q_cluster_deltas,
@@ -2760,6 +2810,33 @@ _TURNS_BASE_SQL = """
   from documents
 """
 
+# Twin of _aug_tool_rerun_conversations: base transcripts + '-rerun'
+# (tool-turn text gets ' req=<tid>') + '-edit' (user-turn text gets
+# ' v2'), tool column NULL throughout (matches _transcripts_from_docs).
+_TOOL_AUG_SQL = f"""
+  tbase as ({_TURNS_BASE_SQL}),
+  taug as (
+    select conv_id, tid as turn_idx, role, text, null as tool from tbase
+    union all
+    select conv_id || '-rerun', tid, role,
+           case when role = 'tool' then text || ' req=' || tid else text end,
+           null
+    from tbase where num % 4 = 1
+    union all
+    select conv_id || '-edit', tid, role,
+           case when role = 'user' then text || ' v2' else text end, null
+    from tbase where num % 4 = 2
+  )
+"""
+
+
+def _tool_masked_oracle_sql() -> str:
+    from rust_gd_spark.operators.convdedup import tool_masked_dup_groups_sql
+
+    inner = tool_masked_dup_groups_sql("taug")
+    return f"with {_TOOL_AUG_SQL}, {inner.lstrip().removeprefix('with')}"
+
+
 # Twin of _aug_retry_turns: base at tid*3; one retry copy for
 # num%3==0 & tid%4==1; two copies (run of 3) for num%3==1 & tid%5==2.
 _AUG_RETRY_SQL = f"""
@@ -3041,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_retry_collapse": _turn_retry_collapse_oracle_sql(),
         "turn_loop_stats": _turn_loop_stats_oracle_sql(),
         "prefix_dup_conversations": _prefix_dup_oracle_sql(),
+        "tool_masked_dups": _tool_masked_oracle_sql(),
         "xent_mixture_sample": _xent_mixture_oracle_sql(),
         "corpus_profile": _corpus_profile_oracle_sql(),
         "training_shuffle": _training_shuffle_oracle_sql(),

@@ -166,6 +166,136 @@ def conversation_dup_clusters(
     ).select(F.col("id").alias("conv"), "cluster_id")
 
 
+def tool_masked_fingerprints(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str = "role",
+    tool_col: str | None = "tool",
+    tool_roles: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """``(conv, n_turns, masked_key)`` — one ORDER-SENSITIVE conversation
+    fingerprint with nondeterministic tool output masked out.
+
+    Agent transcripts re-run against live tools differ ONLY in tool-turn
+    text (timestamps, request ids, retry jitter); every content-hash
+    dedup scores them as distinct and turn-set Jaccard
+    (``conversation_dup_pairs``) is dragged below threshold by the tool
+    turns. Here each turn contributes ``md5(role ␟ text)`` EXCEPT turns
+    whose role is in ``tool_roles``, which contribute
+    ``md5(role ␟ tool-name)`` — the tool IDENTITY still matters (a run
+    that called a different tool is not a re-run) but its output does
+    not. The conversation key is the md5 of the turn hashes in turn
+    order, so insertions/deletions/reorderings still break the match
+    (this is exact-modulo-tool-output, not fuzzy).
+
+    Reference analogue: GD's base/deviation split (`DESIGN.md:62-109`)
+    with the tool output AS the deviation — the dictionary matches on
+    the base (role structure + non-tool content) and discards the
+    deviation entirely.
+
+    Plan: one partial-agg shuffle on ``conv`` (sort_array(collect_list)
+    — turn hashes are 32 bytes, so per-group state is bounded by session
+    length, not text volume). No window, no join.
+    """
+    is_tool = F.col(role_col).isin(*tool_roles)
+    tool_name = (
+        F.coalesce(F.col(tool_col), F.lit("")) if tool_col is not None else F.lit("")
+    )
+    turn_h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col(role_col), F.lit("")),
+            F.when(is_tool, tool_name).otherwise(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ),
+        )
+    )
+    return (
+        transcripts.select(
+            F.col(conv_col).alias("conv"),
+            F.col(order_col).alias("_ord"),
+            turn_h.alias("_h"),
+        )
+        .groupBy("conv")
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_ord", "_h"))),
+                        lambda s: s["_h"],
+                    ),
+                    "",
+                )
+            ).alias("masked_key"),
+        )
+    )
+
+
+def tool_masked_dup_groups(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str = "role",
+    tool_col: str | None = "tool",
+    tool_roles: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """``(conv, n_turns, masked_key, canonical_conv, group_size)`` —
+    exact-dup grouping on the tool-masked fingerprint (the
+    ``exactdup.py`` agg-join shape: a boilerplate conversation re-run
+    10^6 times is one compact group row + an AQE-splittable join back,
+    never a per-key window). canonical_conv = min(conv) in the group.
+    """
+    fp = tool_masked_fingerprints(
+        transcripts, conv_col, order_col, text_col, role_col, tool_col, tool_roles
+    )
+    groups = fp.groupBy("masked_key").agg(
+        F.min("conv").alias("canonical_conv"), F.count("*").alias("group_size")
+    )
+    return fp.join(groups, "masked_key").select(
+        "conv", "n_turns", "masked_key", "canonical_conv", "group_size"
+    )
+
+
+def tool_masked_dup_groups_sql(
+    table: str,
+    conv_expr: str = "conv_id",
+    order_expr: str = "turn_idx",
+    text_expr: str = "text",
+    role_expr: str = "role",
+    tool_expr: str = "tool",
+    tool_roles: tuple[str, ...] = ("tool",),
+) -> str:
+    """DuckDB twin of ``tool_masked_dup_groups`` (bit-exact: same md5
+    turn hashes, same ordered concatenation, same grouping)."""
+    roles = ", ".join(f"'{r}'" for r in tool_roles)
+    turn_h = (
+        f"md5(coalesce({role_expr}, '') || chr(31) || "
+        f"case when {role_expr} in ({roles}) then coalesce({tool_expr}, '') "
+        f"else coalesce({text_expr}, '') end)"
+    )
+    return f"""
+        with fp as (
+          select {conv_expr} as conv,
+                 count(*)::int as n_turns,
+                 md5(string_agg({turn_h}, ''
+                     order by {order_expr}, {turn_h})) as masked_key
+          from {table}
+          group by 1
+        ),
+        grp as (
+          select masked_key, min(conv) as canonical_conv,
+                 count(*)::bigint as group_size
+          from fp group by 1
+        )
+        select f.conv, f.n_turns, f.masked_key, g.canonical_conv, g.group_size
+        from fp f join grp g using (masked_key)
+    """
+
+
 def conversation_dup_pairs_sql(
     table: str,
     conv_expr: str,

@@ -104,3 +104,93 @@ def test_validation_errors(spark, convs):
         conversation_dup_pairs(convs, measure="dice")
     with pytest.raises(ValueError, match="threshold"):
         conversation_dup_pairs(convs, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# tool-masked conversation dedup
+# ---------------------------------------------------------------------------
+
+from rust_gd_spark.operators.convdedup import (  # noqa: E402
+    tool_masked_dup_groups,
+    tool_masked_dup_groups_sql,
+)
+
+_TM_SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string"
+
+
+def _tm(spark, rows):
+    return spark.createDataFrame(rows, _TM_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tool_convs(spark):
+    base = [
+        ("A", 0, "user", "do the thing", None),
+        ("A", 1, "tool", "result ts=100 id=9f3", "search"),
+        ("A", 2, "assistant", "done", None),
+    ]
+    # re-run: tool output differs (new ts/id), everything else identical
+    rerun = [
+        ("A2", 0, "user", "do the thing", None),
+        ("A2", 1, "tool", "result ts=999 id=0xy", "search"),
+        ("A2", 2, "assistant", "done", None),
+    ]
+    # same transcript but a DIFFERENT tool was called -> not a re-run
+    othertool = [
+        ("A3", 0, "user", "do the thing", None),
+        ("A3", 1, "tool", "result ts=100 id=9f3", "browse"),
+        ("A3", 2, "assistant", "done", None),
+    ]
+    # user turn edited -> not a re-run
+    edit = [
+        ("A4", 0, "user", "do the OTHER thing", None),
+        ("A4", 1, "tool", "result ts=100 id=9f3", "search"),
+        ("A4", 2, "assistant", "done", None),
+    ]
+    # A's turns reordered -> not a re-run (mask is order-sensitive)
+    reorder = [
+        ("A5", 0, "assistant", "done", None),
+        ("A5", 1, "tool", "result ts=100 id=9f3", "search"),
+        ("A5", 2, "user", "do the thing", None),
+    ]
+    return _tm(spark, base + rerun + othertool + edit + reorder)
+
+
+def test_tool_masked_grouping(spark, tool_convs):
+    out = {r.conv: r for r in tool_masked_dup_groups(tool_convs).collect()}
+    assert len(out) == 5
+    # only the tool-output variant groups with the base
+    assert out["A"].masked_key == out["A2"].masked_key
+    assert out["A"].canonical_conv == out["A2"].canonical_conv == "A"
+    assert out["A"].group_size == out["A2"].group_size == 2
+    for solo in ("A3", "A4", "A5"):
+        assert out[solo].masked_key != out["A"].masked_key, solo
+        assert out[solo].group_size == 1
+    assert all(r.n_turns == 3 for r in out.values())
+
+
+def test_tool_masked_out_of_order_input(spark, tool_convs):
+    """Fingerprint must be invariant to input ROW order (sorted by
+    turn_idx inside the agg), so a shuffled frame groups identically."""
+    shuffled = tool_convs.orderBy(F.md5(F.concat_ws("|", "conv_id", "text")))
+    a = {r.conv: r.masked_key for r in tool_masked_dup_groups(tool_convs).collect()}
+    b = {r.conv: r.masked_key for r in tool_masked_dup_groups(shuffled).collect()}
+    assert a == b
+
+
+def test_tool_masked_sql_twin(spark, tool_convs):
+    import duckdb
+    import pandas as pd
+
+    pdf = tool_convs.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    twin = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(tool_masked_dup_groups_sql("t")).fetchall()
+    }
+    got = {
+        r.conv: (r.n_turns, r.masked_key, r.canonical_conv, r.group_size)
+        for r in tool_masked_dup_groups(tool_convs).collect()
+    }
+    assert got == twin
