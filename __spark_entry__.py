@@ -962,6 +962,36 @@ def _q_tool_masked_dups(spark, sf_dir):
     return tool_masked_dup_groups(_aug_tool_rerun_conversations(spark, sf_dir))
 
 
+def _q_minhash_bbit_pairs(spark, sf_dir):
+    """b-bit minwise near-dup pairs: LSH candidates verified with the
+    PACKED 8-bit sketch (128 B/doc) instead of exact-Jaccard text
+    re-read — `operators/bbit.py` `bbit_near_dup_pairs`. The equality
+    oracle against exact all-pairs SQL is sound because the corpus's
+    Jaccard distribution is bimodal (measured at sf0.01: every
+    qualifying pair ≥ 0.875, every other overlapping pair ≤ 0.016) and
+    the k=128/b=8 estimator needs a ~14σ excursion to cross 0.5 from
+    either side (P < 1e-40 per pair); LSH banding adds its own ~6e-13
+    miss bound (`_q_minhash_lsh` docstring)."""
+    from rust_gd_spark.operators.bbit import bbit_near_dup_pairs
+
+    return bbit_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        w=SHINGLE_W, threshold=JACCARD_T, b=8,
+    ).select("id_l", "id_r")
+
+
+def _q_bbit_estimate_audit(spark, sf_dir):
+    """b-bit estimator calibration audit with a HARD value-hash oracle:
+    md5-derived slot values (SQL-reproducible) over the doc_id % 5 == 0
+    slice, all pairs, corrected estimate vs exact Jaccard vs |error| —
+    `operators/bbit.py` `bbit_estimate_md5` (the oracle sibling of the
+    packed-kernel path, pytest-pinned against it)."""
+    from rust_gd_spark.operators.bbit import bbit_estimate_md5
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return bbit_estimate_md5(d, "doc_id", "text", w=SHINGLE_W, num_perm=16, b=8)
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1801,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "minhash_bbit_pairs": _q_minhash_bbit_pairs,
+        "bbit_estimate_audit": _q_bbit_estimate_audit,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
@@ -1889,6 +1921,18 @@ join sizes sl on sl.doc_id = c.id_l
 join sizes sr on sr.doc_id = c.id_r
 where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
 """
+
+def _bbit_estimate_oracle_sql() -> str:
+    from rust_gd_spark.operators.bbit import bbit_estimate_md5_sql
+
+    return bbit_estimate_md5_sql(
+        "(select * from documents where doc_id % 5 = 0)",
+        "doc_id",
+        _SHINGLES,
+        num_perm=16,
+        b=8,
+    )
+
 
 # uid mapping of _transcripts_from_docs, in SQL: conv = doc_id % 50,
 # turn_idx = row_number within conv ordered by doc_id - 1 = doc_id // 50
@@ -2976,6 +3020,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _JACCARD_SQL,
+        "minhash_bbit_pairs": f"select id_l, id_r from ({_JACCARD_SQL})",
+        "bbit_estimate_audit": _bbit_estimate_oracle_sql(),
         "minhash_lsh_pairs_oph": _JACCARD_SQL,
         "bloom_dedup_newbatch": """
             with corpus as (
