@@ -992,6 +992,30 @@ def _q_bbit_estimate_audit(spark, sf_dir):
     return bbit_estimate_md5(d, "doc_id", "text", w=SHINGLE_W, num_perm=16, b=8)
 
 
+def _q_snm_candidates(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs with a HARD oracle on the
+    raw (rank-bearing) output — this pins the distributed global-rank
+    machinery (range partition + offset pass, never a single-task
+    window) against DuckDB's row_number exactly —
+    `operators/snm.py` `snm_candidate_pairs`."""
+    from rust_gd_spark.operators.snm import snm_candidate_pairs
+
+    return snm_candidate_pairs(_docs(spark, sf_dir), "doc_id", "text", window=10)
+
+
+def _q_snm_pairs(spark, sf_dir):
+    """SNM candidates verified with exact shingle Jaccard — the
+    sorted-neighborhood blocking family's end-to-end near-dup query —
+    `operators/snm.py` `snm_near_dup_pairs`."""
+    from rust_gd_spark.operators.snm import snm_near_dup_pairs
+
+    p = snm_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window=10, w_shingle=SHINGLE_W, threshold=JACCARD_T,
+    )
+    return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1833,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "minhash_bbit_pairs": _q_minhash_bbit_pairs,
         "bbit_estimate_audit": _q_bbit_estimate_audit,
+        "snm_candidates": _q_snm_candidates,
+        "snm_pairs": _q_snm_pairs,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
@@ -1921,6 +1947,28 @@ join sizes sl on sl.doc_id = c.id_l
 join sizes sr on sr.doc_id = c.id_r
 where c.c::double / (sl.n + sr.n - c.c) >= {JACCARD_T}
 """
+
+def _snm_candidates_oracle_sql() -> str:
+    from rust_gd_spark.operators.snm import snm_candidate_pairs_sql
+
+    return snm_candidate_pairs_sql("documents", "doc_id", "text", window=10)
+
+
+def _snm_pairs_oracle_sql() -> str:
+    from rust_gd_spark.operators.snm import snm_candidate_pairs_sql
+
+    cand = snm_candidate_pairs_sql("documents", "doc_id", "text", window=10)
+    return f"""
+        with cand as (
+          select distinct least(id_l, id_r) as id_l,
+                 greatest(id_l, id_r) as id_r
+          from ({cand})
+        )
+        select j.id_l, j.id_r, j.jaccard
+        from ({_JACCARD_SQL}) j
+        join cand using (id_l, id_r)
+    """
+
 
 def _bbit_estimate_oracle_sql() -> str:
     from rust_gd_spark.operators.bbit import bbit_estimate_md5_sql
@@ -3022,6 +3070,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _JACCARD_SQL,
         "minhash_bbit_pairs": f"select id_l, id_r from ({_JACCARD_SQL})",
         "bbit_estimate_audit": _bbit_estimate_oracle_sql(),
+        "snm_candidates": _snm_candidates_oracle_sql(),
+        "snm_pairs": _snm_pairs_oracle_sql(),
         "minhash_lsh_pairs_oph": _JACCARD_SQL,
         "bloom_dedup_newbatch": """
             with corpus as (
