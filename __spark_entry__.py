@@ -1016,6 +1016,36 @@ def _q_snm_pairs(spark, sf_dir):
     return p.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_lsh_param_plan(spark, sf_dir):
+    """LSH (bands, rows) planning by S-curve FP/FN-area minimization —
+    `operators/lshplan.py` `lsh_parameter_plan` (pure function of
+    (num_perm, threshold); sf_dir unused). Audits the pipeline's 32×4
+    default against its own t=0.5 threshold."""
+    from rust_gd_spark.operators.lshplan import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark, num_perm=128, threshold=JACCARD_T, grid=1000)
+
+
+def _q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (the Iceberg rewrite_data_files /
+    binpack planning pass as a query) over a deterministic file-stats
+    table derived from documents — `operators/compaction.py`
+    `compaction_plan` (exact integer arithmetic, distributed running
+    sum, no global window)."""
+    from rust_gd_spark.operators.compaction import compaction_plan
+
+    files = (
+        _docs(spark, sf_dir)
+        .groupBy((F.col("doc_id") % 97).alias("g"))
+        .agg(F.sum(F.length("text")).alias("bytes"))
+        .select(
+            F.format_string("part-%05d", F.col("g").cast("int")).alias("path"),
+            "bytes",
+        )
+    )
+    return compaction_plan(files, target_bytes=32768)
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1859,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbit_estimate_audit": _q_bbit_estimate_audit,
         "snm_candidates": _q_snm_candidates,
         "snm_pairs": _q_snm_pairs,
+        "lsh_param_plan": _q_lsh_param_plan,
+        "compaction_plan": _q_compaction_plan,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
@@ -1967,6 +1999,26 @@ def _snm_pairs_oracle_sql() -> str:
         select j.id_l, j.id_r, j.jaccard
         from ({_JACCARD_SQL}) j
         join cand using (id_l, id_r)
+    """
+
+
+def _lsh_param_plan_oracle_sql() -> str:
+    from rust_gd_spark.operators.lshplan import lsh_parameter_plan_sql
+
+    return lsh_parameter_plan_sql(num_perm=128, threshold=JACCARD_T, grid=1000)
+
+
+def _compaction_plan_oracle_sql() -> str:
+    from rust_gd_spark.operators.compaction import compaction_plan_sql
+
+    inner = compaction_plan_sql("fstats", "path", "bytes", target_bytes=32768)
+    return f"""
+        with fstats as (
+          select printf('part-%05d', (doc_id % 97)::int) as path,
+                 sum(length(text))::bigint as bytes
+          from documents group by 1
+        ),
+        {inner.lstrip().removeprefix('with')}
     """
 
 
@@ -3072,6 +3124,8 @@ def oracle_sql() -> dict[str, str]:
         "bbit_estimate_audit": _bbit_estimate_oracle_sql(),
         "snm_candidates": _snm_candidates_oracle_sql(),
         "snm_pairs": _snm_pairs_oracle_sql(),
+        "lsh_param_plan": _lsh_param_plan_oracle_sql(),
+        "compaction_plan": _compaction_plan_oracle_sql(),
         "minhash_lsh_pairs_oph": _JACCARD_SQL,
         "bloom_dedup_newbatch": """
             with corpus as (
