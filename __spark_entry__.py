@@ -1046,6 +1046,49 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(files, target_bytes=32768)
 
 
+def _aug_mirror_docs(spark, sf_dir):
+    """documents + PLANTED cross-source duplication (the corpus has no
+    natural cross-source dups — verified by the exact-key scout): a
+    'mirror' source republishing every doc_id % 9 == 0 verbatim, plus
+    within-source double-fetch copies of doc_id % 13 == 0."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    refetch = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text", "source"
+    )
+    return d.unionByName(mirror).unionByName(refetch)
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source duplicate overlap matrix from compact content-key
+    group counts (pair counts WITHOUT pair explosion) —
+    `operators/overlap.py` `source_overlap_matrix`."""
+    from rust_gd_spark.operators.overlap import source_overlap_matrix
+
+    return source_overlap_matrix(_aug_mirror_docs(spark, sf_dir))
+
+
+def _q_source_overlap_near_dup(spark, sf_dir):
+    """Near-dup pair list aggregated to a source×source matrix —
+    `operators/overlap.py` `pair_overlap_matrix` over the exact-Jaccard
+    pair set (the oracle-verifiable pair generator; the LSH variants
+    produce the identical set at this fixture's margins)."""
+    from rust_gd_spark.operators.minhash import exact_jaccard_pairs
+    from rust_gd_spark.operators.overlap import pair_overlap_matrix
+
+    d = _docs(spark, sf_dir)
+    pairs = exact_jaccard_pairs(
+        d, "doc_id", "text", w=SHINGLE_W, threshold=JACCARD_T
+    ).select("id_l", "id_r")
+    return pair_overlap_matrix(
+        pairs, d.select("doc_id", "source"), id_col="doc_id"
+    )
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1891,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "lsh_param_plan": _q_lsh_param_plan,
         "compaction_plan": _q_compaction_plan,
+        "source_overlap": _q_source_overlap,
+        "source_overlap_near_dup": _q_source_overlap_near_dup,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
@@ -1999,6 +2044,24 @@ def _snm_pairs_oracle_sql() -> str:
         select j.id_l, j.id_r, j.jaccard
         from ({_JACCARD_SQL}) j
         join cand using (id_l, id_r)
+    """
+
+
+def _source_overlap_oracle_sql() -> str:
+    from rust_gd_spark.operators.overlap import source_overlap_matrix_sql
+
+    inner = source_overlap_matrix_sql("maug")
+    return f"""
+        with maug as (
+          select doc_id, text, source from documents
+          union all
+          select doc_id + 10000000, text, 'mirror' from documents
+          where doc_id % 9 = 0
+          union all
+          select doc_id + 20000000, text, source from documents
+          where doc_id % 13 = 0
+        ),
+        {inner.lstrip().removeprefix('with')}
     """
 
 
@@ -3126,6 +3189,18 @@ def oracle_sql() -> dict[str, str]:
         "snm_pairs": _snm_pairs_oracle_sql(),
         "lsh_param_plan": _lsh_param_plan_oracle_sql(),
         "compaction_plan": _compaction_plan_oracle_sql(),
+        "source_overlap": _source_overlap_oracle_sql(),
+        "source_overlap_near_dup": f"""
+            with pairs as (select id_l, id_r from ({_JACCARD_SQL})),
+            m as (select doc_id, source from documents)
+            select least(ml.source, mr.source) as source_a,
+                   greatest(ml.source, mr.source) as source_b,
+                   count(*)::bigint as n_dup_pairs
+            from pairs p
+            join m ml on ml.doc_id = p.id_l
+            join m mr on mr.doc_id = p.id_r
+            group by 1, 2
+        """,
         "minhash_lsh_pairs_oph": _JACCARD_SQL,
         "bloom_dedup_newbatch": """
             with corpus as (
