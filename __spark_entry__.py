@@ -1089,6 +1089,39 @@ def _q_source_overlap_near_dup(spark, sf_dir):
     )
 
 
+def _q_incremental_near_dups(spark, sf_dir):
+    """Daily-increment near-dup lookup: a new batch probed against the
+    persisted corpus LSH+b-bit index, corpus never re-paired or
+    re-read — `operators/increment.py` `incremental_near_dups`.
+    Fixture: corpus = doc_id % 10 != 0; batch = the % 10 == 0 docs plus
+    planted near-copies (one appended token, length > 500 so J ≥ 0.98 —
+    ~11σ above the 0.5 threshold for the k=128/b=8 estimator; natural
+    cross-split pairs sit at the corpus's bimodal 0.016/0.875 margins).
+    Oracle = exact batch×corpus Jaccard in SQL."""
+    from rust_gd_spark.operators.bbit import bbit_sketch_bands
+    from rust_gd_spark.operators.increment import incremental_near_dups
+    from rust_gd_spark.operators.minhash import shingle_df
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    plants = (
+        corpus.filter((F.col("doc_id") % 10 == 5) & (F.length("text") > 500))
+        .select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" zqx")).alias("text"),
+        )
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        .unionByName(plants)
+    )
+    idx = bbit_sketch_bands(shingle_df(corpus, "doc_id", "text", w=SHINGLE_W))
+    return incremental_near_dups(
+        idx, batch, "doc_id", "text",
+        w=SHINGLE_W, threshold=JACCARD_T, broadcast_batch=True,
+    ).select("batch_id", "corpus_id")
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1936,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "source_overlap": _q_source_overlap,
         "source_overlap_near_dup": _q_source_overlap_near_dup,
+        "incremental_near_dups": _q_incremental_near_dups,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
@@ -3190,6 +3224,32 @@ def oracle_sql() -> dict[str, str]:
         "lsh_param_plan": _lsh_param_plan_oracle_sql(),
         "compaction_plan": _compaction_plan_oracle_sql(),
         "source_overlap": _source_overlap_oracle_sql(),
+        "incremental_near_dups": f"""
+            with corpus as (
+              select doc_id, text from documents where doc_id % 10 != 0
+            ),
+            batch as (
+              select doc_id, text from documents where doc_id % 10 = 0
+              union all
+              select doc_id + 30000000, text || ' zqx' from documents
+              where doc_id % 10 = 5 and length(text) > 500
+            ),
+            csh as (select distinct doc_id, unnest({_SHINGLES}) as s from corpus),
+            bsh as (select distinct doc_id, unnest({_SHINGLES}) as s from batch),
+            csz as (select doc_id, count(*) as n from csh group by 1),
+            bsz as (select doc_id, count(*) as n from bsh group by 1),
+            common as (
+              select b.doc_id as batch_id, c.doc_id as corpus_id,
+                     count(*) as nc
+              from bsh b join csh c on b.s = c.s
+              group by 1, 2
+            )
+            select m.batch_id, m.corpus_id
+            from common m
+            join bsz on bsz.doc_id = m.batch_id
+            join csz on csz.doc_id = m.corpus_id
+            where m.nc::double / (bsz.n + csz.n - m.nc) >= {JACCARD_T}
+        """,
         "source_overlap_near_dup": f"""
             with pairs as (select id_l, id_r from ({_JACCARD_SQL})),
             m as (select doc_id, source from documents)
