@@ -1122,6 +1122,28 @@ def _q_incremental_near_dups(spark, sf_dir):
     ).select("batch_id", "corpus_id")
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric (subset-document) dedup: pairs whose max-direction
+    shingle CONTAINMENT meets 0.8 — catches truncated re-crawls and
+    quote-inflated reposts whose Jaccard is far below any dedup
+    threshold — `operators/containment.py` `exact_containment_pairs`.
+    Fixture plants 200-char prefixes of docs longer than 400 chars
+    (~10% of the corpus; containment ≈ 0.85-0.95 while jaccard ≈ 0.4 —
+    invisible to every Jaccard-threshold query); natural near-dup pairs
+    qualify too (containment ≥ jaccard ≥ 0.875). Both sides are exact,
+    so near-threshold values compare identically — no margin needed."""
+    from rust_gd_spark.operators.containment import exact_containment_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    subs = d.filter(F.length("text") > 400).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return exact_containment_pairs(
+        d.unionByName(subs), "doc_id", "text", w=SHINGLE_W, threshold=0.8
+    )
+
+
 def _q_embedding_topk_blocked(spark, sf_dir):
     """Exact top-k via the DISTRIBUTED blocked scan — no driver collect,
     memory-bounded tiles, per-tile partial top-k + window merge.
@@ -1970,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "source_overlap_near_dup": _q_source_overlap_near_dup,
         "incremental_near_dups": _q_incremental_near_dups,
+        "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
@@ -2078,6 +2101,21 @@ def _snm_pairs_oracle_sql() -> str:
         select j.id_l, j.id_r, j.jaccard
         from ({_JACCARD_SQL}) j
         join cand using (id_l, id_r)
+    """
+
+
+def _containment_oracle_sql() -> str:
+    from rust_gd_spark.operators.containment import exact_containment_pairs_sql
+
+    inner = exact_containment_pairs_sql("caug", "doc_id", _SHINGLES, threshold=0.8)
+    return f"""
+        with caug as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 40000000, substring(text, 1, 200) from documents
+          where length(text) > 400
+        ),
+        {inner.lstrip().removeprefix('with')}
     """
 
 
@@ -3224,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_param_plan": _lsh_param_plan_oracle_sql(),
         "compaction_plan": _compaction_plan_oracle_sql(),
         "source_overlap": _source_overlap_oracle_sql(),
+        "containment_pairs": _containment_oracle_sql(),
         "incremental_near_dups": f"""
             with corpus as (
               select doc_id, text from documents where doc_id % 10 != 0
