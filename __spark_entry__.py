@@ -962,6 +962,150 @@ def _q_tool_masked_dups(spark, sf_dir):
     return tool_masked_dup_groups(_aug_tool_rerun_conversations(spark, sf_dir))
 
 
+# shared 3/4-turn scripted openings planted into the transcript fixture —
+# module-level so the Spark aug and the DuckDB twin read ONE definition.
+_OPENING_A = [
+    ("user", "Hi, I need some help."),
+    ("assistant", "Hello! How can I help you today?"),
+    ("user", "Let me explain my issue."),
+    ("assistant", "Of course, go ahead."),
+]
+_OPENING_B = [
+    ("user", "Start diagnostics."),
+    ("assistant", "Running the standard checklist now."),
+    ("tool", "checklist: ok"),
+]
+_OPENING_C = [
+    ("assistant", "Escalating to a human agent."),
+    ("user", "Thank you."),
+    ("assistant", "You are welcome. A specialist will join shortly."),
+]
+_CANNED_1 = "I'm sorry, I can't help with that request."
+# messy-case/whitespace variant of _CANNED_1 — normalizes to the same key
+_CANNED_1_MESSY = "I'M SORRY,  I can't help with that REQUEST."
+_CANNED_2 = "Please hold while I check the records."
+
+
+def _plant_turns(convs, pred, opening, base_idx):
+    """Rows (conv_id, base_idx+i, role_i, text_i) for convs matching pred."""
+    sel = convs.filter(pred)
+    out = None
+    for i, (role, text) in enumerate(opening):
+        part = sel.select(
+            "conv_id",
+            F.lit(base_idx + i).cast("int").alias("turn_idx"),
+            F.lit(role).alias("role"),
+            F.lit(text).alias("text"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _aug_template_conversations(spark, sf_dir):
+    """Transcripts + PLANTED multi-turn templates: conversations with
+    ``num % 5 == 0`` share scripted 4-turn opening A (turn_idx -4..-1 —
+    k=3 sliding windows yield TWO shared templates from it), ``num % 5
+    == 1`` share 3-turn opening B, ``num % 3 == 0`` share mid-dialog
+    span C at 500..502; the ``num % 10 == 0`` subset RE-LOGS opening A
+    at the tail (1000..1003) so template A shows n_occurrences >
+    n_convs. Windows straddling a plant/base boundary contain a
+    per-conversation-unique real turn, so they never group."""
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    convs = tr.select("conv_id").distinct()
+    num = F.substring("conv_id", 6, 4).cast("int")
+    aug = tr
+    for pred, opening, base in (
+        (num % 5 == 0, _OPENING_A, -4),
+        (num % 5 == 1, _OPENING_B, -3),
+        (num % 3 == 0, _OPENING_C, 500),
+        (num % 10 == 0, _OPENING_A, 1000),
+    ):
+        aug = aug.unionByName(_plant_turns(convs, pred, opening, base))
+    return aug
+
+
+def _q_turn_template_spans(spark, sf_dir):
+    """Cross-conversation k-turn template detection: the same k
+    CONSECUTIVE turns appearing in many conversations (scripted
+    openings, wizard flows) — `operators/templates.py`
+    `turn_template_spans` (one window shuffle + one partial-agg
+    shuffle on the md5 window chain)."""
+    from rust_gd_spark.operators.templates import turn_template_spans
+
+    return turn_template_spans(
+        _aug_template_conversations(spark, sf_dir), k=3, min_convs=2
+    )
+
+
+def _aug_canned_conversations(spark, sf_dir):
+    """Transcripts + PLANTED canned assistant replies: ``num % 4 == 0``
+    logs _CANNED_1 verbatim at turn 2000; ``num % 2 == 0`` logs its
+    messy-case/double-space variant at 2001 (normalization must merge
+    the two forms into ONE key); ``num % 7 == 0`` logs _CANNED_2 at
+    2002 AND 2003 (within-conversation repeat: n_uses > n_convs).
+    Natural assistant turns carry unique document text and fall below
+    min_count."""
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    convs = tr.select("conv_id").distinct()
+    num = F.substring("conv_id", 6, 4).cast("int")
+    aug = tr
+    for pred, text, idx in (
+        (num % 4 == 0, _CANNED_1, 2000),
+        (num % 2 == 0, _CANNED_1_MESSY, 2001),
+        (num % 7 == 0, _CANNED_2, 2002),
+        (num % 7 == 0, _CANNED_2, 2003),
+    ):
+        aug = aug.unionByName(_plant_turns(convs, pred, [("assistant", text)], idx))
+    return aug
+
+
+def _q_canned_response_dups(spark, sf_dir):
+    """Canned-response detection: one assistant turn's normalized text
+    recurring across conversations (template answers, refusal
+    boilerplate) — `operators/templates.py` `canned_response_dups`
+    (one partial+final HashAggregate on the normalized-text md5, the
+    exactdup shape)."""
+    from rust_gd_spark.operators.templates import canned_response_dups
+
+    return canned_response_dups(
+        _aug_canned_conversations(spark, sf_dir), min_count=2
+    )
+
+
+def _q_cluster_quality_audit(spark, sf_dir):
+    """Cluster cohesion audit: per-cluster pairwise EXACT Jaccard
+    min/max + weak-link (transitive-glue) pair counts over the
+    oracle-shaped pipeline's clusters — `operators/audit.py`
+    `cluster_quality_audit`. The operational complement of the
+    dup-pair-recall criterion: recall says every true pair was found,
+    this says what the transitive closure glued."""
+    from rust_gd_spark.operators.audit import cluster_quality_audit
+    from rust_gd_spark.pipeline import (
+        DedupConfig, canonical_clusters, near_dup_pipeline, with_turn_uid,
+    )
+
+    tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir))
+    res = near_dup_pipeline(
+        tr, "uid", "text",
+        DedupConfig(
+            jaccard_threshold=JACCARD_T, min_substring_len=120,
+            enable_simhash=False, neighbor_window=None,
+        ),
+    )
+    clusters = canonical_clusters(res.clusters).select(
+        F.col("id").alias("uid"), "cluster_id"
+    )
+    return cluster_quality_audit(
+        clusters, tr.select("uid", "text"),
+        id_col="uid", cluster_col="cluster_id", text_col="text",
+        w=SHINGLE_W, weak_threshold=JACCARD_T,
+    )
+
+
 def _q_minhash_bbit_pairs(spark, sf_dir):
     """b-bit minwise near-dup pairs: LSH candidates verified with the
     PACKED 8-bit sketch (128 B/doc) instead of exact-Jaccard text
@@ -1973,6 +2117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_deltas": _q_cluster_deltas,
         "dedup_funnel": _q_dedup_funnel,
         "key_skew_profile": _q_key_skew_profile,
+        # new in round 5 (session 4): multi-turn template detection,
+        # canned-response detection, cluster cohesion audit
+        "turn_template_spans": _q_turn_template_spans,
+        "canned_response_dups": _q_canned_response_dups,
+        "cluster_quality_audit": _q_cluster_quality_audit,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -3116,6 +3265,138 @@ def _tool_masked_oracle_sql() -> str:
     return f"with {_TOOL_AUG_SQL}, {inner.lstrip().removeprefix('with')}"
 
 
+def _sql_str(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _plant_values_sql(opening, base_idx) -> str:
+    """VALUES rows twin of _plant_turns: (turn_idx, role, text)."""
+    return ", ".join(
+        f"({base_idx + i}, '{_sql_str(role)}', '{_sql_str(text)}')"
+        for i, (role, text) in enumerate(opening)
+    )
+
+
+def _template_aug_sql() -> str:
+    """Twin of _aug_template_conversations (shares the _OPENING_*
+    constants, so the planted texts can never drift between engines)."""
+    plants = []
+    for mod, rem, opening, base in (
+        (5, 0, _OPENING_A, -4),
+        (5, 1, _OPENING_B, -3),
+        (3, 0, _OPENING_C, 500),
+        (10, 0, _OPENING_A, 1000),
+    ):
+        plants.append(f"""
+          select c.conv_id, o.i::int, o.role, o.text
+          from convs c, (values {_plant_values_sql(opening, base)})
+               o(i, role, text)
+          where c.num % {mod} = {rem}""")
+    union = "\n          union all".join(plants)
+    return f"""
+      tr as ({_TURNS_BASE_SQL}),
+      convs as (select distinct conv_id, num from tr),
+      taug as (
+        select conv_id, tid as turn_idx, role, text from tr
+        union all{union}
+      )
+    """
+
+
+def _template_spans_oracle_sql() -> str:
+    from rust_gd_spark.operators.templates import turn_template_spans_sql
+
+    inner = turn_template_spans_sql("taug", k=3, min_convs=2)
+    return f"with {_template_aug_sql()}, {inner.lstrip().removeprefix('with')}"
+
+
+def _canned_aug_sql() -> str:
+    """Twin of _aug_canned_conversations."""
+    plants = []
+    for mod, rem, text, idx in (
+        (4, 0, _CANNED_1, 2000),
+        (2, 0, _CANNED_1_MESSY, 2001),
+        (7, 0, _CANNED_2, 2002),
+        (7, 0, _CANNED_2, 2003),
+    ):
+        plants.append(f"""
+          select conv_id, {idx}::int, 'assistant', '{_sql_str(text)}'
+          from convs where num % {mod} = {rem}""")
+    union = "\n          union all".join(plants)
+    return f"""
+      tr as ({_TURNS_BASE_SQL}),
+      convs as (select distinct conv_id, num from tr),
+      caug as (
+        select conv_id, tid as turn_idx, role, text from tr
+        union all{union}
+      )
+    """
+
+
+def _canned_response_oracle_sql() -> str:
+    from rust_gd_spark.operators.templates import canned_response_dups_sql
+
+    inner = canned_response_dups_sql("caug", min_count=2)
+    return f"with {_canned_aug_sql()}, {inner.lstrip().removeprefix('with')}"
+
+
+def _cluster_quality_audit_oracle_sql() -> str:
+    # Twin of _q_cluster_quality_audit: the closure clusters
+    # (_CLUSTERS_SQL), bounded to size 2..1000, every in-cluster pair's
+    # exact w-shingle Jaccard (zero-overlap pairs kept via left join),
+    # per-cluster order-independent stats. round(...,6) matches the
+    # Spark side's F.round before min/max, so the hash is bit-stable.
+    return f"""
+        with clus as ({_CLUSTERS_SQL}),
+        ids as (select {_UID_SQL} as uid, doc_id from documents),
+        mem as (
+          select c.cluster_id, c.id, i.doc_id
+          from clus c join ids i on i.uid = c.id
+        ),
+        csz as (select cluster_id, count(*) as n_members from mem group by 1),
+        bmem as (
+          select m.cluster_id, m.id, m.doc_id, s.n_members
+          from mem m join csz s using (cluster_id)
+          where s.n_members >= 2 and s.n_members <= 1000
+        ),
+        prs as (
+          select l.cluster_id, l.n_members, l.id as id_l, r.id as id_r,
+                 l.doc_id as dl, r.doc_id as dr
+          from bmem l join bmem r
+            on l.cluster_id = r.cluster_id and l.id < r.id
+        ),
+        sh as (select doc_id, unnest({_SHINGLES}) as s from documents),
+        dsh as (select distinct doc_id, s from sh),
+        sizes as (select doc_id, count(*) as n from dsh group by doc_id),
+        cm as (
+          select p.id_l, p.id_r, count(*) as c
+          from prs p
+          join dsh a on a.doc_id = p.dl
+          join dsh b on b.doc_id = p.dr and b.s = a.s
+          group by 1, 2
+        ),
+        jac as (
+          select p.cluster_id, p.n_members, p.id_l, p.id_r,
+                 round(coalesce(cm.c, 0)::double
+                       / (sl.n + sr.n - coalesce(cm.c, 0)), 6) as jaccard
+          from prs p
+          left join cm on cm.id_l = p.id_l and cm.id_r = p.id_r
+          join sizes sl on sl.doc_id = p.dl
+          join sizes sr on sr.doc_id = p.dr
+        )
+        select cluster_id,
+               max(n_members)::bigint as n_members,
+               count(*)::bigint as n_pairs,
+               min(jaccard) as min_jaccard,
+               max(jaccard) as max_jaccard,
+               sum(case when jaccard < {JACCARD_T} then 1 else 0 end)::bigint
+                 as n_weak_pairs,
+               max(case when jaccard < {JACCARD_T} then 1 else 0 end) = 1
+                 as has_weak_link
+        from jac group by cluster_id
+    """
+
+
 # Twin of _aug_retry_turns: base at tid*3; one retry copy for
 # num%3==0 & tid%4==1; two copies (run of 3) for num%3==1 & tid%5==2.
 _AUG_RETRY_SQL = f"""
@@ -3487,6 +3768,9 @@ def oracle_sql() -> dict[str, str]:
         "cluster_deltas": _cluster_deltas_oracle_sql(),
         "dedup_funnel": _dedup_funnel_oracle_sql(),
         "key_skew_profile": _key_skew_oracle_sql(),
+        "turn_template_spans": _template_spans_oracle_sql(),
+        "canned_response_dups": _canned_response_oracle_sql(),
+        "cluster_quality_audit": _cluster_quality_audit_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

@@ -263,8 +263,50 @@ def main() -> None:
     timed("prefix_dup_conversations",
           lambda: _force(q["prefix_dup_conversations"](spark, sf_dir)))
     timed("gd_roundtrip", lambda: _force(q["gd_roundtrip"](spark, sf_dir)))
+    timed("gd_roundtrip_aligned",
+          lambda: _force(q["gd_roundtrip_aligned"](spark, sf_dir)))
+    timed("gd_chunk_stats", lambda: _force(q["gd_chunk_stats"](spark, sf_dir)))
     timed("gd_decompose_metrics", lambda: _force(q["gd_decompose_metrics"](spark, sf_dir)))
+    timed("dedup_ratio_metric",
+          lambda: _force(q["dedup_ratio_metric"](spark, sf_dir)))
     timed("multimodal_features", lambda: _force(q["multimodal_features"](spark, sf_dir)))
+
+    # remaining oracled surface: the session-2/3 round-5 families —
+    # every queries() entry the driver hard-checks is also timed here so
+    # the final artifact covers the full surface, not a prefix of it.
+    timed("incremental_clusters",
+          lambda: _force(q["incremental_clusters"](spark, sf_dir)))
+    timed("tool_masked_dups",
+          lambda: _force(q["tool_masked_dups"](spark, sf_dir)))
+    timed("cluster_deltas", lambda: _force(q["cluster_deltas"](spark, sf_dir)))
+    timed("dedup_funnel", lambda: _force(q["dedup_funnel"](spark, sf_dir)))
+    timed("key_skew_profile",
+          lambda: _force(q["key_skew_profile"](spark, sf_dir)))
+    timed("ngram_jaccard_pairs",
+          lambda: _force(q["ngram_jaccard_pairs"](spark, sf_dir)))
+    timed("minhash_bbit_pairs",
+          lambda: _force(q["minhash_bbit_pairs"](spark, sf_dir)))
+    timed("bbit_estimate_audit",
+          lambda: _force(q["bbit_estimate_audit"](spark, sf_dir)))
+    timed("snm_candidates", lambda: _force(q["snm_candidates"](spark, sf_dir)))
+    timed("snm_pairs", lambda: _force(q["snm_pairs"](spark, sf_dir)))
+    timed("lsh_param_plan", lambda: _force(q["lsh_param_plan"](spark, sf_dir)))
+    timed("compaction_plan", lambda: _force(q["compaction_plan"](spark, sf_dir)))
+    timed("source_overlap", lambda: _force(q["source_overlap"](spark, sf_dir)))
+    timed("source_overlap_near_dup",
+          lambda: _force(q["source_overlap_near_dup"](spark, sf_dir)))
+    timed("incremental_near_dups",
+          lambda: _force(q["incremental_near_dups"](spark, sf_dir)))
+    timed("containment_pairs",
+          lambda: _force(q["containment_pairs"](spark, sf_dir)))
+    timed("soft_dedup_sample",
+          lambda: _force(q["soft_dedup_sample"](spark, sf_dir)))
+    timed("turn_template_spans",
+          lambda: _force(q["turn_template_spans"](spark, sf_dir)))
+    timed("canned_response_dups",
+          lambda: _force(q["canned_response_dups"](spark, sf_dir)))
+    timed("cluster_quality_audit",
+          lambda: _force(q["cluster_quality_audit"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage

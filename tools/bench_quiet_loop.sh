@@ -7,6 +7,7 @@
 # cannot certify a run; a both-ends gate at least brackets it.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+mkdir -p .scratch
 OUT="${OUT:-BENCH_quiet_r4.json}"
 ATTEMPTS="${ATTEMPTS:-6}"
 BOTH_ENDS_GBS="${BOTH_ENDS_GBS:-13.0}"
