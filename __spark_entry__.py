@@ -1106,6 +1106,55 @@ def _q_cluster_quality_audit(spark, sf_dir):
     )
 
 
+def _aug_doubled_docs(spark, sf_dir):
+    """Documents + PLANTED repetition-inflated variants: every
+    ``doc_id % 25 == 0`` document reappears (id + 80000000) as its own
+    text repeated twice — nearly identical shingle SET (set-Jaccard ≈ 1
+    modulo junction grams) but bag-Jaccard ≈ 0.5, the case multiset
+    semantics exist to separate."""
+    docs = _docs(spark, sf_dir)
+    doubled = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 80000000).alias("doc_id"),
+        F.concat("text", F.lit(" "), "text").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(doubled)
+
+
+def _q_bag_jaccard_pairs(spark, sf_dir):
+    """Multiset (bag) w-shingle Jaccard pairs: repetition-inflated
+    near-dups score by occurrence counts, not distinct shingles —
+    `operators/bagjaccard.py` `bag_jaccard_pairs` (counted-shingle Arrow
+    kernel + inverted-index Σmin join). Threshold 0.4 keeps the planted
+    doubled-doc pairs (bag-J ≈ 0.5) that set-Jaccard scores ≈ 1."""
+    from rust_gd_spark.operators.bagjaccard import bag_jaccard_pairs
+
+    return bag_jaccard_pairs(
+        _aug_doubled_docs(spark, sf_dir), "doc_id", "text",
+        w=SHINGLE_W, threshold=0.4,
+    )
+
+
+def _q_decontam_attribution(spark, sf_dir):
+    """Multi-benchmark decontamination attribution: which benchmark
+    leaked into which document — `operators/decontam.py`
+    `ngram_contamination_attribution`. The reference slice
+    (doc_id % 20 == 0) is split into two labeled 'benchmarks'
+    (doc_id % 40): per-(doc, benchmark) hit counts and containment."""
+    from rust_gd_spark.operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.when(F.col("doc_id") % 40 == 0, F.lit("bench_a"))
+        .otherwise(F.lit("bench_b"))
+        .alias("benchmark"),
+        "text",
+    )
+    return decontam.ngram_contamination_attribution(
+        docs, ref, "doc_id", "text", ref_text_col="text",
+        bench_col="benchmark", n=SHINGLE_W, threshold=0.5,
+    )
+
+
 def _q_minhash_bbit_pairs(spark, sf_dir):
     """b-bit minwise near-dup pairs: LSH candidates verified with the
     PACKED 8-bit sketch (128 B/doc) instead of exact-Jaccard text
@@ -2122,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_template_spans": _q_turn_template_spans,
         "canned_response_dups": _q_canned_response_dups,
         "cluster_quality_audit": _q_cluster_quality_audit,
+        "bag_jaccard_pairs": _q_bag_jaccard_pairs,
+        "decontam_attribution": _q_decontam_attribution,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -3340,6 +3391,47 @@ def _canned_response_oracle_sql() -> str:
     return f"with {_canned_aug_sql()}, {inner.lstrip().removeprefix('with')}"
 
 
+def _bag_jaccard_oracle_sql() -> str:
+    from rust_gd_spark.operators.bagjaccard import bag_jaccard_pairs_sql
+
+    inner = bag_jaccard_pairs_sql("baug", "doc_id", _SHINGLES, threshold=0.4)
+    return f"""
+        with baug as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 80000000, text || ' ' || text from documents
+          where doc_id % 25 = 0
+        ),
+        {inner.lstrip().removeprefix('with')}
+    """
+
+
+def _decontam_attribution_oracle_sql() -> str:
+    return f"""
+        with d0 as (
+          select doc_id, unnest({_SHINGLES}) as s from documents
+        ),
+        d as (select distinct doc_id, s from d0),
+        sizes as (select doc_id, count(*) as n from d group by doc_id),
+        refg as (
+          select distinct
+                 case when doc_id % 40 = 0 then 'bench_a'
+                      else 'bench_b' end as benchmark, s
+          from d where doc_id % 20 = 0
+        ),
+        hits as (
+          select d.doc_id, r.benchmark, count(*) as c
+          from d join refg r using (s) group by 1, 2
+        )
+        select h.doc_id as id, h.benchmark,
+               s.n::bigint as n_grams, h.c::bigint as n_hits,
+               round(h.c::double / greatest(s.n, 1), 6) as containment_frac,
+               round(h.c::double / greatest(s.n, 1), 6) >= 0.5
+                 as is_contaminated
+        from hits h join sizes s using (doc_id)
+    """
+
+
 def _cluster_quality_audit_oracle_sql() -> str:
     # Twin of _q_cluster_quality_audit: the closure clusters
     # (_CLUSTERS_SQL), bounded to size 2..1000, every in-cluster pair's
@@ -3771,6 +3863,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_template_spans": _template_spans_oracle_sql(),
         "canned_response_dups": _canned_response_oracle_sql(),
         "cluster_quality_audit": _cluster_quality_audit_oracle_sql(),
+        "bag_jaccard_pairs": _bag_jaccard_oracle_sql(),
+        "decontam_attribution": _decontam_attribution_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

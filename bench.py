@@ -307,6 +307,10 @@ def main() -> None:
           lambda: _force(q["canned_response_dups"](spark, sf_dir)))
     timed("cluster_quality_audit",
           lambda: _force(q["cluster_quality_audit"](spark, sf_dir)))
+    timed("bag_jaccard_pairs",
+          lambda: _force(q["bag_jaccard_pairs"](spark, sf_dir)))
+    timed("decontam_attribution",
+          lambda: _force(q["decontam_attribution"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage

@@ -263,3 +263,83 @@ def minhash_decontam(
         )
     )
     return out, skew_audit
+
+
+def ngram_contamination_attribution(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    bench_col: str = "benchmark",
+    n: int = 13,
+    threshold: float = 0.5,
+    broadcast_ref: bool | None = None,
+) -> DataFrame:
+    """Per-(document, benchmark) contamination attribution.
+
+    ``ngram_containment`` answers "is this document contaminated by the
+    reference set"; in production the reference set is a UNION of many
+    benchmarks, and the removal/reporting decision needs to know WHICH
+    benchmark leaked (report per-benchmark contamination rates, drop a
+    benchmark's docs only where that benchmark overlaps, audit a newly
+    added benchmark's blast radius before ingesting it). ``ref_df``
+    carries a ``bench_col`` label; output is one row per (document,
+    benchmark) pair with at least one shared n-gram::
+
+        (id, benchmark, n_grams, n_hits, containment_frac,
+         is_contaminated)
+
+    where ``containment_frac = n_hits / n_grams`` (the document's gram
+    count, so fractions are comparable across benchmarks).
+
+    Scale design: identical to ``ngram_containment`` except the
+    reference grams keep their benchmark label — distinct (benchmark,
+    gram) rows, still tiny vs the corpus, broadcast under the same
+    ``MAX_BROADCAST_REF_NGRAMS`` guard / AQE fallback. The corpus is
+    exploded to postings ONCE; the inner join keeps only hitting rows,
+    so the per-(id, benchmark) aggregation's input is bounded by hits,
+    not corpus size. Two shuffles total (hit agg + per-doc-size join).
+    """
+    sh = ngram_set(df, id_col, text_col, n=n)
+    sizes = sh.select("id", F.size("shingles").alias("n_grams"))
+    posting = sh.select("id", F.explode("shingles").alias("s"))
+
+    # key the reference shingle pass by the benchmark label itself —
+    # shingle_df emits per-ROW distinct grams, so rows of one benchmark
+    # union under the global distinct; no row-id join (and no
+    # nondeterministic monotonically_increasing_id re-evaluation across
+    # plan branches) is needed.
+    ref_grams = (
+        ngram_set(
+            ref_df.select(F.col(bench_col).alias("id"), ref_text_col),
+            "id", ref_text_col, n=n,
+        )
+        .select(F.col("id").alias("benchmark"), F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    if broadcast_ref:
+        ref_grams = F.broadcast(ref_grams)
+
+    hits = (
+        posting.join(ref_grams, "s")
+        .groupBy("id", "benchmark")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            "id",
+            "benchmark",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits")
+                / F.greatest("n_grams", F.lit(1)).cast("double"),
+                6,
+            ).alias("containment_frac"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("containment_frac") >= F.lit(threshold)
+        )
+    )

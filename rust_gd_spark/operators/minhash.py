@@ -94,8 +94,14 @@ def _prefix_poly(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return H, powB
 
 
-def _shingle_hash_batch(texts: list[str], w: int) -> list[np.ndarray]:
+def _shingle_hash_batch(
+    texts: list[str], w: int, counted: bool = False
+) -> list[np.ndarray]:
     """Distinct sorted w-gram span hashes per NORMALIZED text.
+
+    ``counted=True`` returns per-row ``(values, counts)`` tuples instead —
+    the MULTISET of shingles (same distinct values, plus each one's
+    occurrence count), for bag-Jaccard semantics.
 
     One concatenated byte buffer per call: prefix poly hashes (log-passes),
     token boundaries from the single-space structure of normalized text,
@@ -117,6 +123,11 @@ def _shingle_hash_batch(texts: list[str], w: int) -> list[np.ndarray]:
     span = lambda s, e: H[e] - H[s] * powB[e - s]  # noqa: E731
 
     if n == 0:
+        if counted:
+            return [
+                (np.zeros(1, dtype=np.int64), np.ones(1, dtype=np.int32))
+                for _ in enc
+            ]
         return [np.zeros(1, dtype=np.int64) for _ in enc]
 
     # token boundaries: normalized text is single-spaced and trimmed, so a
@@ -160,6 +171,14 @@ def _shingle_hash_batch(texts: list[str], w: int) -> list[np.ndarray]:
     keep = np.empty(len(vals), dtype=bool)
     keep[:1] = True
     keep[1:] = (rows[1:] != rows[:-1]) | (vals[1:] != vals[:-1])
+    if counted:
+        # run length of each (row, value) group = occurrence count
+        idx = np.where(keep)[0]
+        gcnt = np.diff(np.append(idx, len(vals))).astype(np.int32)
+        rows, vals = rows[keep], vals[keep].view(np.int64)
+        counts = np.bincount(rows, minlength=len(enc))
+        splits = np.cumsum(counts)[:-1]
+        return list(zip(np.split(vals, splits), np.split(gcnt, splits)))
     rows, vals = rows[keep], vals[keep].view(np.int64)
     counts = np.bincount(rows, minlength=len(enc))
     return np.split(vals, np.cumsum(counts)[:-1])
