@@ -166,11 +166,12 @@ def verify_bag_jaccard(
     the corpus posting table is never exploded or shuffled.
     """
 
-    @F.pandas_udf(T.LongType())
-    def sum_min_udf(
-        vl: pd.Series, cl: pd.Series, vr: pd.Series, cr: pd.Series
+    @F.pandas_udf(T.DoubleType())
+    def bagj_udf(
+        vl: pd.Series, cl: pd.Series, vr: pd.Series, cr: pd.Series,
+        tl: pd.Series, tr: pd.Series,
     ) -> pd.Series:
-        out = np.empty(len(vl), dtype=np.int64)
+        out = np.zeros(len(vl), dtype=np.float64)
         for i in range(len(vl)):
             # kernel sorts values as uint64; the int64 Arrow view wraps
             # large hashes negative, so restore uint64 before searchsorted
@@ -178,13 +179,19 @@ def verify_bag_jaccard(
             b = np.asarray(vr[i], dtype=np.int64).view(np.uint64)
             ca, cb = np.asarray(cl[i]), np.asarray(cr[i])
             if len(a) == 0 or len(b) == 0:
-                out[i] = 0
                 continue
             pos = np.searchsorted(b, a)
             pos_c = np.clip(pos, 0, len(b) - 1)
             hit = b[pos_c] == a
-            out[i] = int(np.minimum(ca[hit], cb[pos_c[hit]]).sum())
-        return pd.Series(out)
+            m = int(np.minimum(ca[hit], cb[pos_c[hit]]).sum())
+            out[i] = m / (int(tl[i]) + int(tr[i]) - m)
+        return pd.Series(np.round(out, 6))
+
+    # the whole Σmin + division + round happens in the kernel, and the
+    # flag (deterministic in fact) stops Catalyst pushing the threshold
+    # filter through and evaluating the kernel a second time — the
+    # embedding dot-kernel pattern (embedding.py:512)
+    bagj_udf = bagj_udf.asNondeterministic()
 
     sl = sh.select(
         F.col("id").alias("id_l"),
@@ -199,16 +206,11 @@ def verify_bag_jaccard(
         F.col("total").alias("tr"),
     )
     j = pairs.join(sl, "id_l").join(sr, "id_r")
-    m = sum_min_udf("vl", "cl", "vr", "cr")
     return (
         j.select(
             "id_l",
             "id_r",
-            F.round(
-                m.cast("double")
-                / (F.col("tl") + F.col("tr") - m).cast("double"),
-                6,
-            ).alias("bag_jaccard"),
+            bagj_udf("vl", "cl", "vr", "cr", "tl", "tr").alias("bag_jaccard"),
         )
         .filter(F.col("bag_jaccard") >= threshold)
     )
