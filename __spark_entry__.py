@@ -1106,6 +1106,48 @@ def _q_cluster_quality_audit(spark, sf_dir):
     )
 
 
+_RECRAWL_EPOCH = 1767225600  # 2026-01-01 00:00:00 UTC
+
+
+def _aug_recrawl_docs(spark, sf_dir):
+    """Documents + deterministic capture times + PLANTED recrawls:
+    every doc gets ts = 2026-01-01 + (doc_id % 7) days; ``doc_id % 10
+    == 0`` docs are re-crawled later (id + 90000000, ts shifted by
+    (doc_id % 30) + 1 days); ``doc_id % 15 == 0`` docs are re-logged
+    at the SAME ts (id + 95000000 — the batch-export case where
+    n_distinct_ts < n_crawls)."""
+    d0 = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.timestamp_seconds(
+            F.lit(_RECRAWL_EPOCH) + (F.col("doc_id") % 7) * 86400
+        ).alias("ts"),
+    )
+    re1 = d0.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 90000000).alias("doc_id"), "text",
+        F.timestamp_seconds(
+            F.lit(_RECRAWL_EPOCH) + (F.col("doc_id") % 7) * 86400
+            + ((F.col("doc_id") % 30) + 1) * 86400
+        ).alias("ts"),
+    )
+    re2 = d0.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 95000000).alias("doc_id"), "text", "ts"
+    )
+    return d0.unionByName(re1).unionByName(re2)
+
+
+def _q_recrawl_groups(spark, sf_dir):
+    """Time-aware exact-dup canonicalization: keep the EARLIEST capture,
+    report re-crawl cadence (n_crawls vs n_distinct_ts, age span) —
+    `operators/recrawl.py` `recrawl_groups` (one partial-agg shuffle,
+    min-of-struct canonical pick, never a per-key window)."""
+    from rust_gd_spark.operators.recrawl import recrawl_groups
+
+    return recrawl_groups(
+        _aug_recrawl_docs(spark, sf_dir), "doc_id", "text", "ts",
+        min_crawls=2,
+    )
+
+
 def _aug_doubled_docs(spark, sf_dir):
     """Documents + PLANTED repetition-inflated variants: every
     ``doc_id % 25 == 0`` document reappears (id + 80000000) as its own
@@ -2173,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quality_audit": _q_cluster_quality_audit,
         "bag_jaccard_pairs": _q_bag_jaccard_pairs,
         "decontam_attribution": _q_decontam_attribution,
+        "recrawl_groups": _q_recrawl_groups,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -3406,6 +3449,35 @@ def _bag_jaccard_oracle_sql() -> str:
     """
 
 
+def _recrawl_oracle_sql() -> str:
+    # Twin of _aug_recrawl_docs + recrawl_groups. Plain (non-tz)
+    # timestamp arithmetic so fetchdf yields naive datetime64 matching
+    # Spark's UTC-session timestamps.
+    from rust_gd_spark.operators.recrawl import recrawl_groups_sql
+
+    base = f"timestamp '2026-01-01 00:00:00'"
+    inner = recrawl_groups_sql("raug", "doc_id", "text", "ts", min_crawls=2)
+    return f"""
+        with d0 as (
+          select doc_id, text,
+                 {base} + ((doc_id % 7) * 86400) * (interval 1 second) as ts
+          from documents
+        ),
+        raug as (
+          select doc_id, text, ts from d0
+          union all
+          select doc_id + 90000000, text,
+                 {base} + ((doc_id % 7) * 86400
+                           + ((doc_id % 30) + 1) * 86400)
+                        * (interval 1 second)
+          from d0 where doc_id % 10 = 0
+          union all
+          select doc_id + 95000000, text, ts from d0 where doc_id % 15 = 0
+        ),
+        {inner.lstrip().removeprefix('with')}
+    """
+
+
 def _decontam_attribution_oracle_sql() -> str:
     return f"""
         with d0 as (
@@ -3865,6 +3937,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_quality_audit": _cluster_quality_audit_oracle_sql(),
         "bag_jaccard_pairs": _bag_jaccard_oracle_sql(),
         "decontam_attribution": _decontam_attribution_oracle_sql(),
+        "recrawl_groups": _recrawl_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

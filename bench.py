@@ -311,6 +311,8 @@ def main() -> None:
           lambda: _force(q["bag_jaccard_pairs"](spark, sf_dir)))
     timed("decontam_attribution",
           lambda: _force(q["decontam_attribution"](spark, sf_dir)))
+    timed("recrawl_groups",
+          lambda: _force(q["recrawl_groups"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage
