@@ -79,3 +79,69 @@ def test_oph_estimator_tracks_jaccard(shared, extra_a, extra_b, seed):
     est = float((sig[0] == sig[1]).mean())
     true_j = shared / (shared + extra_a + extra_b)
     assert abs(est - true_j) <= 0.25, (est, true_j)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    w=st.sampled_from([1, 2, 3]),
+)
+def test_counted_shingles_match_counter_reference(texts, w):
+    """The counted kernel's (values, counts) must equal a Counter over
+    the string w-grams of the NORMALIZED text, and the bag-Jaccard
+    identities must hold: J_bag(x, x) = 1 and J_bag <= J_set pairwise."""
+    import re
+    from collections import Counter
+
+    from rust_gd_spark.operators.minhash import _shingle_hash_batch
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    def grams(t):
+        toks = [x for x in norm(t).split(" ") if x] if norm(t) else []
+        if len(toks) < w:
+            return Counter([" ".join(toks)])
+        return Counter(
+            " ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)
+        )
+
+    normed = [norm(t) for t in texts]
+    out = _shingle_hash_batch(normed, w, counted=True)
+    setout = _shingle_hash_batch(normed, w)
+    for t, (vals, cnts), sv in zip(texts, out, setout):
+        ref = grams(t)
+        # multiset cardinalities match the string-gram reference
+        assert sorted(cnts.tolist()) == sorted(ref.values())
+        assert int(cnts.sum()) == sum(ref.values())
+        # distinct values agree with the set kernel (same hashes)
+        assert vals.tolist() == sv.tolist()
+        # values ascend as uint64 (the verify kernel's merge invariant)
+        u = vals.view("uint64") if hasattr(vals, "view") else vals
+        assert all(u[i] < u[i + 1] for i in range(len(u) - 1))
+
+    # pairwise: J_bag <= J_set, and J_bag(x, x) == 1
+    def bag_set_j(i, j):
+        vi, ci = out[i]
+        vj, cj = out[j]
+        di = dict(zip(vi.tolist(), ci.tolist()))
+        dj = dict(zip(vj.tolist(), cj.tolist()))
+        inter = set(di) & set(dj)
+        m = sum(min(di[s], dj[s]) for s in inter)
+        tot = sum(di.values()) + sum(dj.values())
+        jb = m / (tot - m) if tot - m else 1.0
+        js = len(inter) / len(set(di) | set(dj))
+        return jb, js
+
+    for i in range(len(out)):
+        jb, js = bag_set_j(i, i)
+        assert jb == 1.0 and js == 1.0
+        for j in range(i + 1, len(out)):
+            jb, js = bag_set_j(i, j)
+            assert jb <= js + 1e-12
