@@ -1063,6 +1063,19 @@ def _aug_canned_conversations(spark, sf_dir):
     return aug
 
 
+def _q_template_span_removal(spark, sf_dir):
+    """REWRITE step for template detection: every conversation except
+    the exemplar loses its scripted-opening turns, unique content
+    survives, survivors re-index densely — `operators/templates.py`
+    `remove_template_turns` (the cdc_dedup_rewrite keep-first rule at
+    turn granularity)."""
+    from rust_gd_spark.operators.templates import remove_template_turns
+
+    return remove_template_turns(
+        _aug_template_conversations(spark, sf_dir), k=3, min_convs=2
+    )
+
+
 def _q_canned_response_dups(spark, sf_dir):
     """Canned-response detection: one assistant turn's normalized text
     recurring across conversations (template answers, refusal
@@ -1145,6 +1158,48 @@ def _q_recrawl_groups(spark, sf_dir):
     return recrawl_groups(
         _aug_recrawl_docs(spark, sf_dir), "doc_id", "text", "ts",
         min_crawls=2,
+    )
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (inverse contamination): fraction of
+    a document's distinct n-grams appearing NOWHERE else in the corpus
+    — `operators/decontam.py` `ngram_novelty` (two partial-agg
+    shuffles, df rides back on one hash equi-join)."""
+    from rust_gd_spark.operators.decontam import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), "doc_id", "text", n=SHINGLE_W)
+
+
+def _aug_sessionized_transcripts(spark, sf_dir):
+    """Transcripts + synthesized per-turn capture times with PLANTED
+    inactivity gaps: ts = 2026-01-01 + turn_idx·60 s, plus a 2-hour
+    jump at every 4th turn — so each conversation splits into sessions
+    of exactly 4 turns under gap_sec=1800."""
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    return tr.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(_RECRAWL_EPOCH)
+            + F.col("turn_idx") * 60
+            + F.floor(F.col("turn_idx") / 4) * 7200
+        ),
+    )
+
+
+def _q_conversation_sessions(spark, sf_dir):
+    """Inactivity-gap sessionization: re-key conversations into sessions
+    at gaps > 30 min so per-conversation dedup operators stop mixing
+    unrelated interactions — `operators/turns.py` `split_sessions`
+    (island encoding, one shuffle)."""
+    from rust_gd_spark.operators.turns import split_sessions
+
+    return split_sessions(
+        _aug_sessionized_transcripts(spark, sf_dir),
+        conv_col="conv_id", ts_col="ts", order_col="turn_idx",
+        gap_sec=1800,
     )
 
 
@@ -2216,6 +2271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bag_jaccard_pairs": _q_bag_jaccard_pairs,
         "decontam_attribution": _q_decontam_attribution,
         "recrawl_groups": _q_recrawl_groups,
+        "ngram_novelty": _q_ngram_novelty,
+        "conversation_sessions": _q_conversation_sessions,
+        "template_span_removal": _q_template_span_removal,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -3404,6 +3462,49 @@ def _template_spans_oracle_sql() -> str:
     return f"with {_template_aug_sql()}, {inner.lstrip().removeprefix('with')}"
 
 
+def _template_removal_oracle_sql() -> str:
+    # Twin of remove_template_turns over the same aug: positional
+    # windows (row_number), qualifying templates, k-position coverage
+    # via unnest(range), anti-join, dense re-index.
+    return f"""
+        with {_template_aug_sql()},
+        th as (
+          select conv_id as conv, turn_idx, role, text,
+                 row_number() over (partition by conv_id
+                                    order by turn_idx) - 1 as p,
+                 md5(coalesce(role, '') || chr(31) || coalesce(text, ''))
+                   as h
+          from taug
+        ),
+        win as (
+          select conv, p,
+                 md5(h || lead(h, 1) over (partition by conv order by p)
+                       || lead(h, 2) over (partition by conv order by p))
+                   as template_hash
+          from th
+        ),
+        tpl as (
+          select template_hash, min(conv) as exemplar_conv
+          from win where template_hash is not null
+          group by 1 having count(distinct conv) >= 2
+        ),
+        cov as (
+          select distinct w.conv, w.p + i.i as p
+          from win w
+          join tpl t using (template_hash),
+               unnest(range(0, 3)) as i(i)
+          where w.conv != t.exemplar_conv
+        ),
+        kept as (
+          select th.* from th anti join cov using (conv, p)
+        )
+        select conv as conv_id, turn_idx, role, text,
+               (row_number() over (partition by conv order by p) - 1)::int
+                 as new_turn_idx
+        from kept
+    """
+
+
 def _canned_aug_sql() -> str:
     """Twin of _aug_canned_conversations."""
     plants = []
@@ -3475,6 +3576,43 @@ def _recrawl_oracle_sql() -> str:
           select doc_id + 95000000, text, ts from d0 where doc_id % 15 = 0
         ),
         {inner.lstrip().removeprefix('with')}
+    """
+
+
+def _conversation_sessions_oracle_sql() -> str:
+    # Twin of _aug_sessionized_transcripts + split_sessions: island
+    # encoding (gap flag -> running sum) over the same synthesized ts.
+    return f"""
+        with tr as ({_TURNS_BASE_SQL}),
+        t as (
+          select conv_id, tid as turn_idx, role, text,
+                 timestamp '2026-01-01 00:00:00'
+                   + (tid * 60 + (tid // 4) * 7200) * (interval 1 second)
+                   as ts
+          from tr
+        ),
+        g as (
+          select *, epoch(ts) - epoch(lag(ts) over
+                   (partition by conv_id order by turn_idx)) as gap
+          from t
+        ),
+        f as (
+          select *, case when gap is null or gap > 1800 then 1 else 0 end
+                   as ns
+          from g
+        ),
+        s as (
+          select *, sum(ns) over (partition by conv_id order by turn_idx
+                   rows between unbounded preceding and current row) - 1
+                   as si
+          from f
+        )
+        select conv_id, turn_idx, role, text, ts,
+               conv_id || '#' || si as session_id,
+               (row_number() over (partition by conv_id, si
+                                   order by turn_idx) - 1)::int
+                 as session_turn
+        from s
     """
 
 
@@ -3938,6 +4076,25 @@ def oracle_sql() -> dict[str, str]:
         "bag_jaccard_pairs": _bag_jaccard_oracle_sql(),
         "decontam_attribution": _decontam_attribution_oracle_sql(),
         "recrawl_groups": _recrawl_oracle_sql(),
+        "ngram_novelty": f"""
+            with d0 as (
+              select doc_id, unnest({_SHINGLES}) as s from documents
+            ),
+            d as (select distinct doc_id, s from d0),
+            gdf as (select s, count(*) as df from d group by s),
+            per as (
+              select d.doc_id, count(*) as n_grams,
+                     sum(case when g.df = 1 then 1 else 0 end) as n_novel
+              from d join gdf g using (s) group by d.doc_id
+            )
+            select doc_id as id, n_grams::bigint as n_grams,
+                   n_novel::bigint as n_novel,
+                   round(n_novel::double / greatest(n_grams, 1), 6)
+                     as novelty_frac
+            from per
+        """,
+        "conversation_sessions": _conversation_sessions_oracle_sql(),
+        "template_span_removal": _template_removal_oracle_sql(),
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

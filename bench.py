@@ -313,6 +313,12 @@ def main() -> None:
           lambda: _force(q["decontam_attribution"](spark, sf_dir)))
     timed("recrawl_groups",
           lambda: _force(q["recrawl_groups"](spark, sf_dir)))
+    timed("ngram_novelty",
+          lambda: _force(q["ngram_novelty"](spark, sf_dir)))
+    timed("conversation_sessions",
+          lambda: _force(q["conversation_sessions"](spark, sf_dir)))
+    timed("template_span_removal",
+          lambda: _force(q["template_span_removal"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage

@@ -343,3 +343,57 @@ def ngram_contamination_attribution(
             "is_contaminated", F.col("containment_frac") >= F.lit(threshold)
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document n-gram novelty vs the rest of the corpus.
+
+    The INVERSE of contamination: how much of a document's content
+    appears NOWHERE else? ``novelty_frac`` near 1 marks genuinely novel
+    text (worth keeping even at low quality scores); near 0 marks a
+    document assembled from corpus-common spans (template/boilerplate
+    soup the repetition gates may miss because nothing repeats WITHIN
+    the document). The standard post-dedup quality signal between
+    within-doc repetition (``operators/repetition.py``) and cross-doc
+    near-dup (Jaccard tiers): duplication below pair granularity.
+
+    Returns one row per document::
+
+        (id, n_grams, n_novel, novelty_frac)
+
+    where ``n_novel`` counts the document's distinct n-grams whose
+    corpus document frequency is exactly 1 (this document alone) and
+    ``novelty_frac = n_novel / n_grams`` (6dp).
+
+    Scale: the posting explode is one pass; gram document frequency is
+    one partial-aggregated groupBy on the hash (map-side combine eats
+    the boilerplate mega-grams), and the per-doc rollup is a second
+    partial agg. The df table never joins a corpus-sized side twice:
+    the posting carries its own df back via one equi-join on the hash.
+    """
+    sh = ngram_set(df, id_col, text_col, n=n)
+    posting = sh.select("id", F.explode("shingles").alias("s"))
+    gram_df = posting.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        posting.join(gram_df, "s")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel")
+                / F.greatest("n_grams", F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )

@@ -217,3 +217,73 @@ def canned_response_dups_sql(
         group by response_key
         having count(*) >= {min_count}
     """
+
+
+def remove_template_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str | None = "role",
+    k: int = 3,
+    min_convs: int = 2,
+) -> DataFrame:
+    """REWRITE step for :func:`turn_template_spans`: cut template spans.
+
+    Every turn covered by a qualifying k-turn template window (a window
+    whose hash appears in ≥ ``min_convs`` conversations) is removed from
+    every conversation EXCEPT the template's exemplar (the smallest
+    conv id carrying it) — the per-turn sibling of
+    ``cdc.cdc_dedup_rewrite``'s keep-first-occurrence rule: the corpus
+    keeps exactly one copy of each scripted opening/wizard flow, and
+    every other conversation loses the boilerplate turns while its
+    unique content survives. Survivors are re-indexed densely as
+    ``new_turn_idx`` (original order preserved, original columns
+    intact).
+
+    Windows are positional (k consecutive ROWS by ``order_col``), so
+    coverage is computed on row positions: window at position p covers
+    positions p..p+k-1; a turn is cut iff ANY qualifying non-exemplar
+    window covers it. Positions explode k-fold only on MATCHED windows
+    (bounded by template occurrences, not corpus size).
+
+    Plan: the same one-Window pass as detection, one partial-agg
+    shuffle on the template hash, one join back of qualifying windows
+    (AQE-broadcastable — the template table is tiny), a k-element
+    ``sequence`` explode on matches only, and one left-anti join on
+    (conv, position).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    th = F.md5(_turn_key(text_col, role_col))
+    hs = [th] + [F.lead(th, i).over(w) for i in range(1, k)]
+    pos = df.select(
+        F.col(conv_col).alias("conv"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+        (F.row_number().over(w) - 1).alias("p"),
+        F.md5(F.concat(*hs)).alias("template_hash"),
+    )
+    templates = (
+        pos.filter(F.col("template_hash").isNotNull())
+        .groupBy("template_hash")
+        .agg(
+            F.count_distinct("conv").alias("n_convs"),
+            F.min("conv").alias("exemplar_conv"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+        .select("template_hash", "exemplar_conv")
+    )
+    covered = (
+        pos.join(templates, "template_hash")
+        .filter(F.col("conv") != F.col("exemplar_conv"))
+        .select(
+            "conv", F.explode(F.sequence("p", F.col("p") + (k - 1))).alias("p")
+        )
+        .distinct()
+    )
+    kept = pos.join(covered, ["conv", "p"], "left_anti")
+    wk = Window.partitionBy("conv").orderBy("p")
+    return kept.select(
+        F.col("_row.*"), (F.row_number().over(wk) - 1).cast("int").alias("new_turn_idx")
+    )

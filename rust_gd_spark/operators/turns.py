@@ -231,3 +231,66 @@ def prefix_dup_conversations(
             (F.col("shared_turns") == F.col("host_turns")).alias("full_equal"),
         )
     )
+
+
+def split_sessions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Split conversations into sessions at inactivity gaps.
+
+    Long-running agent/conversation logs arrive under ONE conv_id even
+    when they span genuinely separate interactions (a support thread
+    reopened a week later, an agent resumed after a crash). Every
+    downstream per-conversation operator — turn-set dedup, prefix
+    detection, loop gates, the GD per-conversation round-trip — then
+    mixes unrelated interactions. This operator re-keys: a new session
+    starts at the conversation's first turn and at every turn whose gap
+    from the previous turn EXCEEDS ``gap_sec`` (strict: a gap of
+    exactly ``gap_sec`` stays in-session). Output adds::
+
+        session_id   = conv_id || '#' || session_idx   (0-based)
+        session_turn = 0-based turn index WITHIN the session
+
+    to every input row (original columns intact, original row order by
+    ``order_col`` preserved as the within-partition sort).
+
+    This is the transcript-native sibling of the event-stream session
+    window (``streaming_window.py`` session windows): same gap
+    semantics, but re-KEYING rows rather than aggregating them.
+
+    Plan: one shuffle (window on ``conv_col``); the session index is
+    the running sum of gap flags and the within-session re-index is a
+    second window on the same partitioning — Catalyst plans all of it
+    in a single exchange (the ``collapse_retry_turns`` island-encoding
+    convention; pinned in ``tests/test_turns.py``).
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    flagged = df.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "_session_idx",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+    ws = Window.partitionBy(conv_col, "_session_idx").orderBy(order_col)
+    return (
+        sess.withColumn(
+            "session_id",
+            F.concat_ws("#", F.col(conv_col), F.col("_session_idx")),
+        )
+        .withColumn(
+            "session_turn", (F.row_number().over(ws) - 1).cast("int")
+        )
+        .drop("_new_session", "_session_idx")
+    )

@@ -1,0 +1,71 @@
+"""ngram_novelty (inverse contamination) and split_sessions (inactivity-gap
+re-keying): hand-checked expectations including the strict gap boundary."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+
+def test_ngram_novelty(spark):
+    from rust_gd_spark.operators.decontam import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),        # shares "aa bb"/"bb cc" path w/ doc 2
+            (2, "aa bb cc zz"),
+            (3, "qq ww ee rr"),        # fully novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.n_grams, r.n_novel, r.novelty_frac)
+        for r in ngram_novelty(docs, "doc_id", "text", n=2).collect()
+    }
+    # doc1 bigrams: aa bb / bb cc / cc dd — first two shared with doc2
+    assert out[1] == (3, 1, 0.333333)
+    assert out[2] == (3, 1, 0.333333)
+    assert out[3] == (3, 3, 1.0)
+
+
+def test_split_sessions_gap_semantics(spark):
+    from rust_gd_spark.operators.turns import split_sessions
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        # conv A: turns at +0s, +60s, then a 1800s gap (NOT > gap -> same
+        # session), then a 1801s gap (new session), then +10s
+        ("A", 0, "user", "a", t0),
+        ("A", 1, "assistant", "b", t0 + timedelta(seconds=60)),
+        ("A", 2, "user", "c", t0 + timedelta(seconds=60 + 1800)),
+        ("A", 3, "assistant", "d", t0 + timedelta(seconds=60 + 1800 + 1801)),
+        ("A", 4, "user", "e", t0 + timedelta(seconds=60 + 1800 + 1811)),
+        # conv B: single turn
+        ("B", 0, "user", "solo", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): (r.session_id, r.session_turn)
+        for r in split_sessions(df, gap_sec=1800).collect()
+    }
+    assert out[("A", 0)] == ("A#0", 0)
+    assert out[("A", 1)] == ("A#0", 1)
+    assert out[("A", 2)] == ("A#0", 2)   # exactly gap_sec stays in-session
+    assert out[("A", 3)] == ("A#1", 0)   # strictly greater -> new session
+    assert out[("A", 4)] == ("A#1", 1)
+    assert out[("B", 0)] == ("B#0", 0)
+
+
+def test_split_sessions_single_exchange_plan(spark):
+    from rust_gd_spark.operators.turns import split_sessions
+
+    df = spark.createDataFrame(
+        [("A", i, "user", "x", datetime(2026, 1, 1, 0, i)) for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    plan = (
+        split_sessions(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # both windows share the conv partitioning: one exchange total
+    assert plan.count("Exchange") == 1

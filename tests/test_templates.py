@@ -143,3 +143,24 @@ def test_canned_response_duckdb_twin(spark, canned_convs):
         for r in canned_response_dups(canned_convs, min_count=2).collect()
     }
     assert got == twin
+
+
+def test_remove_template_turns(spark, template_convs):
+    from rust_gd_spark.operators.templates import remove_template_turns
+
+    out = remove_template_turns(template_convs, k=3, min_convs=2)
+    got = {
+        (r.conv_id, r.turn_idx): r.new_turn_idx for r in out.collect()
+    }
+    # exemplar A keeps its opening; B and C lose ALL copies of it
+    # (C's tail re-log too); D kept (only 2 of 3 turns matched -> no
+    # qualifying window); unique tails survive and re-index densely
+    assert ("A", 0) in got and ("A", 1) in got and ("A", 2) in got
+    assert got[("A", 3)] == 3
+    for i in (0, 1, 2, 10, 11, 12):
+        assert ("C", i) not in got
+    assert got[("B", 3)] == 0          # B's unique tail re-indexed to 0
+    assert got[("C", 3)] == 0
+    assert got[("D", 0)] == 0 and got[("D", 2)] == 2
+    # every F/E turn intact (no qualifying window touches them)
+    assert got[("F", 0)] == 0 and got[("E", 2)] == 2
