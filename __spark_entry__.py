@@ -1203,6 +1203,29 @@ def _q_conversation_sessions(spark, sf_dir):
     )
 
 
+def _q_dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplication rates (corpus governance: which feed
+    ships duplicated content) — `operators/exactdup.py`
+    `dedup_rate_by_source` (two partial-agg shuffles, no joins)."""
+    from rust_gd_spark.operators.exactdup import dedup_rate_by_source
+
+    return dedup_rate_by_source(_docs(spark, sf_dir), "doc_id", "text", "source")
+
+
+def _q_jaccard_topk_neighbors(spark, sf_dir):
+    """Per-document top-k nearest neighbors by exact w-shingle Jaccard
+    (threshold-calibration / provenance-review surface) —
+    `operators/minhash.py` `jaccard_topk_neighbors` (inverted-index
+    pairs → symmetrize → WindowGroupLimit top-k, total-order
+    tie-break)."""
+    from rust_gd_spark.operators.minhash import jaccard_topk_neighbors
+
+    return jaccard_topk_neighbors(
+        _docs(spark, sf_dir), "doc_id", "text", w=SHINGLE_W, k=5,
+        threshold=0.1,
+    )
+
+
 def _aug_doubled_docs(spark, sf_dir):
     """Documents + PLANTED repetition-inflated variants: every
     ``doc_id % 25 == 0`` document reappears (id + 80000000) as its own
@@ -2274,6 +2297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "conversation_sessions": _q_conversation_sessions,
         "template_span_removal": _q_template_span_removal,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "jaccard_topk_neighbors": _q_jaccard_topk_neighbors,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -4095,6 +4120,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "conversation_sessions": _conversation_sessions_oracle_sql(),
         "template_span_removal": _template_removal_oracle_sql(),
+        "dedup_rate_by_source": """
+            with pk as (
+              select source, md5(coalesce(text, '')) as k, count(*) as c
+              from documents group by 1, 2
+            )
+            select source, sum(c)::bigint as n_docs,
+                   count(*)::bigint as n_distinct,
+                   (sum(c) - count(*))::bigint as n_dup_docs,
+                   round((sum(c) - count(*))::double / greatest(sum(c), 1), 6)
+                     as dup_ratio
+            from pk group by source
+        """,
+        "jaccard_topk_neighbors": f"""
+            with sh as (
+              select doc_id, unnest({_SHINGLES}) as s from documents
+            ),
+            d as (select distinct doc_id, s from sh),
+            sizes as (select doc_id, count(*) as n from d group by doc_id),
+            common as (
+              select l.doc_id as id_l, r.doc_id as id_r, count(*) as c
+              from d l join d r on l.s = r.s and l.doc_id < r.doc_id
+              group by 1, 2
+            ),
+            j as (
+              select c.id_l, c.id_r,
+                     round(c.c::double / (sl.n + sr.n - c.c), 6) as jaccard
+              from common c
+              join sizes sl on sl.doc_id = c.id_l
+              join sizes sr on sr.doc_id = c.id_r
+              where c.c::double / (sl.n + sr.n - c.c) >= 0.1
+            ),
+            sym as (
+              select id_l as id, id_r as neighbor_id, jaccard from j
+              union all
+              select id_r, id_l, jaccard from j
+            )
+            select id, neighbor_id, jaccard, rank from (
+              select id, neighbor_id, jaccard,
+                     row_number() over (partition by id
+                       order by jaccard desc, neighbor_id asc)::int as rank
+              from sym
+            ) where rank <= 5
+        """,
         "embedding_ann_lsh": """
             with n as (
               select vec_id,

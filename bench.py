@@ -319,6 +319,10 @@ def main() -> None:
           lambda: _force(q["conversation_sessions"](spark, sf_dir)))
     timed("template_span_removal",
           lambda: _force(q["template_span_removal"](spark, sf_dir)))
+    timed("dedup_rate_by_source",
+          lambda: _force(q["dedup_rate_by_source"](spark, sf_dir)))
+    timed("jaccard_topk_neighbors",
+          lambda: _force(q["jaccard_topk_neighbors"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage

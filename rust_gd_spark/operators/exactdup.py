@@ -67,3 +67,52 @@ def exact_dup_pairs(groups: DataFrame) -> DataFrame:
         groups.filter(F.col("id") != F.col("canonical_id"))
         .select(F.col("canonical_id").alias("id_l"), F.col("id").alias("id_r"))
     )
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplication rates — the corpus-governance rollup.
+
+    Which ingestion source ships duplicated content? Per source::
+
+        (source, n_docs, n_distinct, n_dup_docs, dup_ratio)
+
+    ``n_distinct`` counts distinct content keys WITHIN the source,
+    ``n_dup_docs = n_docs − n_distinct`` (docs that would be removed by
+    within-source exact dedup), ``dup_ratio = n_dup_docs / n_docs``
+    (6dp). Cross-source duplication is deliberately out of scope here —
+    that is ``overlap.source_overlap_matrix``'s job; this operator is
+    the per-source health metric that decides which feed gets
+    re-crawled less or deduplicated at ingest.
+
+    Scale: one partial-agg shuffle on (source, content_key) + one tiny
+    per-source rollup — both map-side combinable; no joins.
+    """
+    key = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    per_key = (
+        df.select(F.col(source_col).alias("source"), key.alias("k"))
+        .groupBy("source", "k")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_key.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (F.col("n_docs") - F.col("n_distinct")).cast("long").alias("n_dup_docs"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct"))
+                / F.greatest("n_docs", F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

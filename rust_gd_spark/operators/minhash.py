@@ -652,3 +652,54 @@ def exact_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def jaccard_topk_neighbors(
+    df: DataFrame,
+    id_col: str = "uid",
+    text_col: str = "text",
+    w: int = 5,
+    k: int = 5,
+    threshold: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per-document top-k most-similar neighbors by exact w-shingle Jaccard.
+
+    The analysis sibling of threshold dedup: instead of "is this a
+    duplicate", "what are this document's nearest relatives and how
+    close" — the input for manual dedup-threshold calibration, cluster
+    exploration, and duplicate-provenance review. Output::
+
+        (id, neighbor_id, jaccard, rank)
+
+    ``rank`` is 1-based per id, ordered by (jaccard desc, neighbor_id
+    asc) — a TOTAL order over 6-dp-rounded scores, so ranks are
+    partition-order independent and twin-reproducible. Pairs below
+    ``threshold`` never rank (they are not in the candidate set — at
+    corpus scale the threshold is what keeps the pair table bounded).
+
+    Plan: ``exact_jaccard_pairs`` (inverted index, ``max_df`` stopword
+    guard) → symmetrize (each pair serves both endpoints) →
+    ``row_number`` per id — Spark plans the per-id top-k as
+    WindowGroupLimit (rank pushdown), so no per-id full sort survives.
+    """
+    pairs = exact_jaccard_pairs(
+        df, id_col, text_col, w=w, threshold=threshold, max_df=max_df
+    ).select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+    sym = pairs.select(
+        F.col("id_l").alias("id"), F.col("id_r").alias("neighbor_id"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_r").alias("id"), F.col("id_l").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(wspec))
+        .filter(F.col("rank") <= k)
+    )

@@ -69,3 +69,48 @@ def test_split_sessions_single_exchange_plan(spark):
     )
     # both windows share the conv partitioning: one exchange total
     assert plan.count("Exchange") == 1
+
+
+def test_dedup_rate_by_source(spark):
+    from rust_gd_spark.operators.exactdup import dedup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "s1"), (2, "x", "s1"), (3, "x", "s1"), (4, "y", "s1"),
+            (5, "a", "s2"), (6, "b", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: (r.n_docs, r.n_distinct, r.n_dup_docs, r.dup_ratio)
+        for r in dedup_rate_by_source(docs).collect()
+    }
+    assert out["s1"] == (4, 2, 2, 0.5)
+    assert out["s2"] == (2, 2, 0, 0.0)
+
+
+def test_jaccard_topk_neighbors(spark):
+    from rust_gd_spark.operators.minhash import jaccard_topk_neighbors
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four five"),
+            ("b", "one two three four five"),      # J(a,b)=1
+            ("c", "one two three four nine"),      # closer to a/b than d
+            ("d", "totally different words here"),
+        ],
+        "uid string, text string",
+    )
+    out = {
+        (r.id, r.rank): (r.neighbor_id, r.jaccard)
+        for r in jaccard_topk_neighbors(
+            docs, "uid", "text", w=2, k=2, threshold=0.05
+        ).collect()
+    }
+    # a's nearest is b (J=1), then c; symmetric rows exist for b and c
+    assert out[("a", 1)] == ("b", 1.0)
+    assert out[("a", 2)][0] == "c"
+    assert out[("b", 1)] == ("a", 1.0)
+    assert out[("c", 1)][0] == "a"   # tie J(c,a)=J(c,b) -> min id first
+    assert out[("c", 2)][0] == "b"
+    assert ("d", 1) not in out       # below threshold everywhere
