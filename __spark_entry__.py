@@ -1203,6 +1203,19 @@ def _q_conversation_sessions(spark, sf_dir):
     )
 
 
+def _q_quality_threshold_plan(spark, sf_dir):
+    """Quality-gate threshold calibration for a 70% keep budget: the
+    exact smallest 6-dp score threshold meeting the target —
+    `operators/sampling.py` `quality_threshold_plan` (one partial-agg
+    shuffle; the global window runs over distinct rounded scores, not
+    the corpus)."""
+    from rust_gd_spark.operators.sampling import quality_threshold_plan
+
+    return quality_threshold_plan(
+        _docs(spark, sf_dir), "text", target_keep_frac=0.7
+    )
+
+
 def _q_dedup_rate_by_source(spark, sf_dir):
     """Per-source exact-duplication rates (corpus governance: which feed
     ships duplicated content) — `operators/exactdup.py`
@@ -2299,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_span_removal": _q_template_span_removal,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "jaccard_topk_neighbors": _q_jaccard_topk_neighbors,
+        "quality_threshold_plan": _q_quality_threshold_plan,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -4120,6 +4134,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "conversation_sessions": _conversation_sessions_oracle_sql(),
         "template_span_removal": _template_removal_oracle_sql(),
+        "quality_threshold_plan": f"""
+            with qs as (
+              select round({ts.quality_score_sql('text')}, 6) as q
+              from documents
+            ),
+            dist as (select q, count(*) as c from qs group by q),
+            cum as (
+              select q,
+                     sum(c) over (order by q desc rows between
+                       unbounded preceding and current row) as cum,
+                     sum(c) over () as n_docs
+              from dist
+            ),
+            kept as (select * from cum where cum >= n_docs * 0.7),
+            best as (select max(q) as threshold from kept)
+            select b.threshold, c.n_docs::bigint as n_docs,
+                   c.cum::bigint as n_kept,
+                   round(c.cum::double / c.n_docs, 6) as keep_frac,
+                   0.7 as target_keep_frac
+            from best b join cum c on c.q = b.threshold
+        """,
         "dedup_rate_by_source": """
             with pk as (
               select source, md5(coalesce(text, '')) as k, count(*) as c

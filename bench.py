@@ -323,6 +323,8 @@ def main() -> None:
           lambda: _force(q["dedup_rate_by_source"](spark, sf_dir)))
     timed("jaccard_topk_neighbors",
           lambda: _force(q["jaccard_topk_neighbors"](spark, sf_dir)))
+    timed("quality_threshold_plan",
+          lambda: _force(q["quality_threshold_plan"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage

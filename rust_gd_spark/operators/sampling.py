@@ -393,3 +393,68 @@ def leakage_safe_split_sql(
         f"case when {_digest_sql(cluster_expr, seed)} < "
         f"'{hash_threshold(frac_train)}' then 'train' else 'val' end"
     )
+
+
+def quality_threshold_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    target_keep_frac: float = 0.7,
+) -> DataFrame:
+    """Calibrate the quality-gate threshold for a target keep rate.
+
+    The quality gate (`prep.training_data_prep`, `functions/
+    quality_model.py`) takes a THRESHOLD; production picks it from a
+    budget ("keep the best ~70%"), not from first principles. This
+    planner computes, EXACTLY, the smallest 6-dp quality-score
+    threshold whose keep fraction still meets the target — the planner
+    family's answer (`mixture_plan`, `lsh_param_plan`,
+    `compaction_plan`) for the quality tier. One row::
+
+        (threshold, n_docs, n_kept, keep_frac, target_keep_frac)
+
+    where ``n_kept`` = docs with score ≥ threshold, ``keep_frac`` =
+    n_kept / n_docs (≥ target by construction; the next-higher distinct
+    score would undershoot).
+
+    Exactness over approximation: ``percentile_approx`` is
+    partition-order dependent and engine-specific; here scores are
+    ROUNDED to 6dp first (the repo-wide gate convention), so the
+    distinct-score distribution is small and the selection is an exact
+    cumulative count over it — one partial-agg shuffle on the rounded
+    score plus a window over (distinct scores) rows, which is bounded
+    by 10⁶ regardless of corpus size.
+    """
+    from ..functions import textstats as ts
+
+    score = F.round(ts.quality_score(F.col(text_col)), 6)
+    dist = df.select(score.alias("q")).groupBy("q").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the distinct-score table is tiny (≤ 10^6 rows at 6dp): the global
+    # window runs on one task over kilobytes, not over the corpus
+    cum = dist.select(
+        "q", F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n_docs"),
+    )
+    kept = cum.filter(
+        F.col("cum") >= F.col("n_docs") * F.lit(target_keep_frac)
+    )
+    best = kept.agg(
+        F.max("q").alias("threshold"),
+        F.max("n_docs").alias("n_docs"),
+    )
+    return (
+        best.join(cum.select(F.col("q").alias("threshold"), "cum"), "threshold")
+        .select(
+            "threshold",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("cum").cast("long").alias("n_kept"),
+            F.round(F.col("cum") / F.col("n_docs").cast("double"), 6).alias(
+                "keep_frac"
+            ),
+            F.lit(target_keep_frac).alias("target_keep_frac"),
+        )
+    )

@@ -114,3 +114,33 @@ def test_jaccard_topk_neighbors(spark):
     assert out[("c", 1)][0] == "a"   # tie J(c,a)=J(c,b) -> min id first
     assert out[("c", 2)][0] == "b"
     assert ("d", 1) not in out       # below threshold everywhere
+
+
+def test_quality_threshold_plan_exact_selection(spark):
+    from rust_gd_spark.operators.sampling import quality_threshold_plan
+
+    # 10 docs whose scores are distinct: target 0.3 must keep exactly
+    # the top 3 (keep_frac 0.3), threshold = 3rd-best score
+    texts = [("w " * (5 * (i + 1))).strip() for i in range(10)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    r = quality_threshold_plan(docs, "text", target_keep_frac=0.3).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_docs == 10 and row.n_kept >= 3
+    assert row.keep_frac >= 0.3
+    # threshold keeps exactly n_kept docs: count scores >= threshold
+    from rust_gd_spark.functions import textstats as ts
+    from pyspark.sql import functions as F
+
+    scored = docs.select(F.round(ts.quality_score(F.col("text")), 6).alias("q"))
+    n_ge = scored.filter(F.col("q") >= row.threshold).count()
+    assert n_ge == row.n_kept
+    # the next-higher distinct score undershoots the target
+    higher = sorted(
+        {x.q for x in scored.collect() if x.q > row.threshold}, reverse=True
+    )
+    if higher:
+        n_above = scored.filter(F.col("q") >= higher[-1]).count()
+        assert n_above < 3
