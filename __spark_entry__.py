@@ -2313,6 +2313,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "jaccard_topk_neighbors": _q_jaccard_topk_neighbors,
         "quality_threshold_plan": _q_quality_threshold_plan,
+        # session-3 families not yet covered by ANY driver pass — kept
+        # inside the driver's ~50-query budget window (round-4 VERDICT
+        # task 2's rule: least-recently-driver-verified first)
+        "compaction_plan": _q_compaction_plan,
+        "source_overlap": _q_source_overlap,
+        "source_overlap_near_dup": _q_source_overlap_near_dup,
+        "incremental_near_dups": _q_incremental_near_dups,
+        "containment_pairs": _q_containment_pairs,
+        "minhash_bbit_pairs": _q_minhash_bbit_pairs,
+        "bbit_estimate_audit": _q_bbit_estimate_audit,
+        "snm_candidates": _q_snm_candidates,
+        "snm_pairs": _q_snm_pairs,
+        "lsh_param_plan": _q_lsh_param_plan,
         # rows-only (non-SQL-expressible: simhash fingerprint family; GD
         # base/deviation byte contents — chunk counts ARE oracle-checked
         # via gd_chunk_stats, round-trip via gd_roundtrip)
@@ -2323,16 +2336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
-        "minhash_bbit_pairs": _q_minhash_bbit_pairs,
-        "bbit_estimate_audit": _q_bbit_estimate_audit,
-        "snm_candidates": _q_snm_candidates,
-        "snm_pairs": _q_snm_pairs,
-        "lsh_param_plan": _q_lsh_param_plan,
-        "compaction_plan": _q_compaction_plan,
-        "source_overlap": _q_source_overlap,
-        "source_overlap_near_dup": _q_source_overlap_near_dup,
-        "incremental_near_dups": _q_incremental_near_dups,
-        "containment_pairs": _q_containment_pairs,
         "minhash_lsh_pairs_oph": _q_minhash_lsh_oph,
         "bloom_dedup_newbatch": _q_bloom_dedup,
         "decontam_ngrams": _q_decontam,
