@@ -1239,6 +1239,66 @@ def _q_jaccard_topk_neighbors(spark, sf_dir):
     )
 
 
+_GRADE_KS = (48, 24, 16, 12)
+_SENS_GRID = (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _aug_graded_docs(spark, sf_dir):
+    """Documents + PLANTED graded-similarity variants: every
+    ``doc_id % 5 == 0`` document reappears (id + 97000000) with every
+    k-th raw-space token replaced by the literal ``qz``, k drawn from
+    (48, 24, 16, 12) by ``(doc_id % 20) / 5`` — four similarity grades
+    (w=5 shingle Jaccard ≈ 0.8 / 0.65 / 0.5 / 0.4) so the sensitivity
+    grid has real structure to report. Construction happens on RAW
+    space-split tokens (before shingle normalization) and is mirrored
+    token-for-token by the DuckDB twin's 1-based indexed lambda."""
+    d0 = _docs(spark, sf_dir).select("doc_id", "text")
+    kcol = F.element_at(
+        F.array(*[F.lit(k) for k in _GRADE_KS]),
+        ((F.col("doc_id") % 20) / 5).cast("int") + 1,
+    )
+    toks = F.split(F.col("text"), " ")
+    vtext = F.concat_ws(
+        " ",
+        F.transform(
+            toks, lambda x, i: F.when(i % kcol == 0, F.lit("qz")).otherwise(x)
+        ),
+    )
+    v = d0.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 97000000).alias("doc_id"), vtext.alias("text")
+    )
+    return d0.unionByName(v)
+
+
+def _q_dup_threshold_sensitivity(spark, sf_dir):
+    """Dedup-threshold sensitivity curve: per grid threshold, verified
+    pairs and distinct documents surviving — `operators/sensitivity.py`
+    `threshold_sensitivity` over the exact inverted-index pair list
+    (the calibration-scale input; at 100 TB the input is the
+    LSH-verified pair list with floor ≤ min(grid))."""
+    from rust_gd_spark.operators.minhash import exact_jaccard_pairs
+    from rust_gd_spark.operators.sensitivity import threshold_sensitivity
+
+    pairs = exact_jaccard_pairs(
+        _aug_graded_docs(spark, sf_dir), "doc_id", "text",
+        w=SHINGLE_W, threshold=min(_SENS_GRID),
+    )
+    return threshold_sensitivity(pairs, _SENS_GRID)
+
+
+def _q_dup_burst_windows(spark, sf_dir):
+    """Temporal duplicate-burst monitoring: per ingestion hour, the
+    corpus-wide-dup share vs the global share, integer-rational burst
+    flag — `operators/recrawl.py` `dup_burst_windows` (two partial-agg
+    shuffles + a co-partitioned key join-back + a 1-row broadcast)."""
+    from rust_gd_spark.operators.recrawl import dup_burst_windows
+
+    return dup_burst_windows(
+        _aug_recrawl_docs(spark, sf_dir), "doc_id", "text", "ts",
+        bucket_sec=3600, factor_num=3, factor_den=2, min_docs=2,
+    )
+
+
 def _aug_doubled_docs(spark, sf_dir):
     """Documents + PLANTED repetition-inflated variants: every
     ``doc_id % 25 == 0`` document reappears (id + 80000000) as its own
@@ -2313,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "jaccard_topk_neighbors": _q_jaccard_topk_neighbors,
         "quality_threshold_plan": _q_quality_threshold_plan,
+        "dup_threshold_sensitivity": _q_dup_threshold_sensitivity,
+        "dup_burst_windows": _q_dup_burst_windows,
         # session-3 families not yet covered by ANY driver pass — kept
         # inside the driver's ~50-query budget window (round-4 VERDICT
         # task 2's rule: least-recently-driver-verified first)
@@ -3592,6 +3654,81 @@ def _bag_jaccard_oracle_sql() -> str:
     """
 
 
+def _dup_threshold_sensitivity_oracle_sql() -> str:
+    # Twin of _aug_graded_docs + exact_jaccard_pairs +
+    # threshold_sensitivity. The graded-variant construction mirrors the
+    # Spark side token-for-token (DuckDB's indexed lambda is 1-based, so
+    # (i - 1) % k matches Spark's 0-based i % k); the pair list keeps the
+    # UNROUNDED jaccard so the grid comparison is bit-exact.
+    from rust_gd_spark.operators.sensitivity import threshold_sensitivity_sql
+
+    ks = ", ".join(str(k) for k in _GRADE_KS)
+    t0 = min(_SENS_GRID)
+    pairs = f"""
+        with d0 as (select doc_id, text from documents),
+        v as (
+          select doc_id + 97000000 as doc_id,
+                 array_to_string(
+                   list_transform(
+                     string_split(text, ' '),
+                     (x, i) -> case when (i - 1) % k = 0 then 'qz'
+                               else x end),
+                   ' ') as text
+          from (select doc_id, text,
+                       ([{ks}])[((doc_id % 20) // 5) + 1] as k
+                from d0 where doc_id % 5 = 0)
+        ),
+        gaug as (select * from d0 union all select * from v),
+        sh as (select doc_id, unnest({_SHINGLES}) as s from gaug),
+        d as (select distinct doc_id, s from sh),
+        sizes as (select doc_id, count(*) as n from d group by doc_id),
+        common as (
+          select l.doc_id as id_l, r.doc_id as id_r, count(*) as c
+          from d l join d r on l.s = r.s and l.doc_id < r.doc_id
+          group by 1, 2
+        )
+        select c.id_l, c.id_r,
+               c.c::double / (sl.n + sr.n - c.c) as jaccard
+        from common c
+        join sizes sl on sl.doc_id = c.id_l
+        join sizes sr on sr.doc_id = c.id_r
+        where c.c::double / (sl.n + sr.n - c.c) >= {t0}
+    """
+    return threshold_sensitivity_sql(pairs, _SENS_GRID)
+
+
+def _dup_burst_oracle_sql() -> str:
+    # Twin of _aug_recrawl_docs + dup_burst_windows: same synthesized
+    # naive-UTC capture times as the recrawl oracle, epoch()::bigint
+    # mirroring unix_timestamp, HUGEINT cross-multiplied burst flag.
+    from rust_gd_spark.operators.recrawl import dup_burst_windows_sql
+
+    base = "timestamp '2026-01-01 00:00:00'"
+    inner = dup_burst_windows_sql(
+        "raug", "doc_id", "text", "ts",
+        bucket_sec=3600, factor_num=3, factor_den=2, min_docs=2,
+    )
+    return f"""
+        with d0 as (
+          select doc_id, text,
+                 {base} + ((doc_id % 7) * 86400) * (interval 1 second) as ts
+          from documents
+        ),
+        raug as (
+          select doc_id, text, ts from d0
+          union all
+          select doc_id + 90000000, text,
+                 {base} + ((doc_id % 7) * 86400
+                           + ((doc_id % 30) + 1) * 86400)
+                        * (interval 1 second)
+          from d0 where doc_id % 10 = 0
+          union all
+          select doc_id + 95000000, text, ts from d0 where doc_id % 15 = 0
+        ),
+        {inner.lstrip().removeprefix('with')}
+    """
+
+
 def _recrawl_oracle_sql() -> str:
     # Twin of _aug_recrawl_docs + recrawl_groups. Plain (non-tz)
     # timestamp arithmetic so fetchdf yields naive datetime64 matching
@@ -4158,6 +4295,8 @@ def oracle_sql() -> dict[str, str]:
                    0.7 as target_keep_frac
             from best b join cum c on c.q = b.threshold
         """,
+        "dup_threshold_sensitivity": _dup_threshold_sensitivity_oracle_sql(),
+        "dup_burst_windows": _dup_burst_oracle_sql(),
         "dedup_rate_by_source": """
             with pk as (
               select source, md5(coalesce(text, '')) as k, count(*) as c

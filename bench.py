@@ -325,6 +325,10 @@ def main() -> None:
           lambda: _force(q["jaccard_topk_neighbors"](spark, sf_dir)))
     timed("quality_threshold_plan",
           lambda: _force(q["quality_threshold_plan"](spark, sf_dir)))
+    timed("dup_threshold_sensitivity",
+          lambda: _force(q["dup_threshold_sensitivity"](spark, sf_dir)))
+    timed("dup_burst_windows",
+          lambda: _force(q["dup_burst_windows"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage
