@@ -1299,6 +1299,62 @@ def _q_dup_burst_windows(spark, sf_dir):
     )
 
 
+def _aug_outlier_docs(spark, sf_dir):
+    """Documents + PLANTED per-source length outliers: every ``doc_id %
+    50 == 0`` document reappears (id + 98000000) as its own text
+    repeated 20× in the SAME source, with ``n_chars`` recomputed — a
+    broken-scraper concatenation the per-source Tukey fences must
+    catch (the base corpus's lengths are fence-interior)."""
+    d0 = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    v = (
+        d0.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 98000000).alias("doc_id"),
+            F.repeat(F.col("text"), 20).alias("text"),
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    return d0.unionByName(v.select("doc_id", "text", "source", "n_chars"))
+
+
+def _q_source_length_outliers(spark, sf_dir):
+    """Per-source exact Tukey length fences + outlier counts (broken
+    scraper / parser-regression monitoring) —
+    `operators/lengthgate.py` `source_length_outliers` (distinct-value
+    cumulative ranks, never percentile_approx; integer fences)."""
+    from rust_gd_spark.operators.lengthgate import source_length_outliers
+
+    return source_length_outliers(
+        _aug_outlier_docs(spark, sf_dir), "source", "n_chars", k=3
+    )
+
+
+def _q_lang_agreement(spark, sf_dir):
+    """Claimed-vs-detected language confusion matrix (mislabeled-feed
+    quarantine before mixture planning) — `operators/langaudit.py`
+    `lang_agreement` (two partial aggs + one post-agg equi-join; the
+    detector is the same pure-codegen `lang_id` the quality gate
+    uses)."""
+    from rust_gd_spark.operators.langaudit import lang_agreement
+
+    return lang_agreement(_docs(spark, sf_dir), "text", "lang")
+
+
+def _q_snm_recall_audit(spark, sf_dir):
+    """Blocking-recall audit: SNM verified pairs vs the exact
+    inverted-index ground truth at the same threshold, one summary row
+    with an invariant-zero spurious count — `operators/snm.py`
+    `snm_recall_audit` (the bbit/pruned-IVF audit discipline applied
+    to the blocking family)."""
+    from rust_gd_spark.operators.snm import snm_recall_audit
+
+    return snm_recall_audit(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window=10, w_shingle=SHINGLE_W, threshold=JACCARD_T,
+    )
+
+
 def _aug_doubled_docs(spark, sf_dir):
     """Documents + PLANTED repetition-inflated variants: every
     ``doc_id % 25 == 0`` document reappears (id + 80000000) as its own
@@ -2375,6 +2431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_plan": _q_quality_threshold_plan,
         "dup_threshold_sensitivity": _q_dup_threshold_sensitivity,
         "dup_burst_windows": _q_dup_burst_windows,
+        "source_length_outliers": _q_source_length_outliers,
+        "lang_agreement": _q_lang_agreement,
+        "snm_recall_audit": _q_snm_recall_audit,
         # session-3 families not yet covered by ANY driver pass — kept
         # inside the driver's ~50-query budget window (round-4 VERDICT
         # task 2's rule: least-recently-driver-verified first)
@@ -3654,6 +3713,65 @@ def _bag_jaccard_oracle_sql() -> str:
     """
 
 
+def _lang_agreement_oracle_sql() -> str:
+    from rust_gd_spark.operators.langaudit import lang_agreement_sql
+
+    return lang_agreement_sql("documents", "text", "lang")
+
+
+def _length_outliers_oracle_sql() -> str:
+    # Twin of _aug_outlier_docs + source_length_outliers: repeat(text, 20)
+    # and length() are semantics-identical in both engines on this ASCII
+    # corpus; the fences/ranks are pure integer arithmetic.
+    from rust_gd_spark.operators.lengthgate import source_length_outliers_sql
+
+    inner = source_length_outliers_sql("aug", "source", "n_chars", k=3)
+    return f"""
+        with d0 as (select doc_id, text, source, n_chars from documents),
+        aug as (
+          select * from d0
+          union all
+          select doc_id + 98000000, repeat(text, 20), source,
+                 length(repeat(text, 20))::bigint
+          from d0 where doc_id % 50 = 0
+        ),
+        {inner.lstrip().removeprefix('with')}
+    """
+
+
+def _snm_recall_oracle_sql() -> str:
+    # Twin of snm_recall_audit: the exact pair set is _JACCARD_SQL, the
+    # SNM side is that set restricted to the sorted-neighborhood
+    # candidate window (the same construction as the snm_pairs oracle),
+    # so n_spurious is an invariant zero in both engines.
+    from rust_gd_spark.operators.snm import snm_candidate_pairs_sql
+
+    cand = snm_candidate_pairs_sql("documents", "doc_id", "text", window=10)
+    return f"""
+        with exact as ({_JACCARD_SQL}),
+        cand as (
+          select distinct least(id_l, id_r) as id_l,
+                 greatest(id_l, id_r) as id_r
+          from ({cand})
+        ),
+        snm as (
+          select e.id_l, e.id_r from exact e join cand using (id_l, id_r)
+        ),
+        hit as (
+          select e.id_l from exact e join snm s
+            on e.id_l = s.id_l and e.id_r = s.id_r
+        )
+        select (select count(*) from exact)::bigint as n_exact,
+               (select count(*) from snm)::bigint as n_snm,
+               (select count(*) from hit)::bigint as n_hit,
+               ((select count(*) from snm)
+                - (select count(*) from hit))::bigint as n_spurious,
+               round((select count(*) from hit)::double
+                     / greatest((select count(*) from exact), 1), 6)
+                 as recall
+    """
+
+
 def _dup_threshold_sensitivity_oracle_sql() -> str:
     # Twin of _aug_graded_docs + exact_jaccard_pairs +
     # threshold_sensitivity. The graded-variant construction mirrors the
@@ -4297,6 +4415,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_threshold_sensitivity": _dup_threshold_sensitivity_oracle_sql(),
         "dup_burst_windows": _dup_burst_oracle_sql(),
+        "source_length_outliers": _length_outliers_oracle_sql(),
+        "lang_agreement": _lang_agreement_oracle_sql(),
+        "snm_recall_audit": _snm_recall_oracle_sql(),
         "dedup_rate_by_source": """
             with pk as (
               select source, md5(coalesce(text, '')) as k, count(*) as c

@@ -329,6 +329,12 @@ def main() -> None:
           lambda: _force(q["dup_threshold_sensitivity"](spark, sf_dir)))
     timed("dup_burst_windows",
           lambda: _force(q["dup_burst_windows"](spark, sf_dir)))
+    timed("source_length_outliers",
+          lambda: _force(q["source_length_outliers"](spark, sf_dir)))
+    timed("lang_agreement",
+          lambda: _force(q["lang_agreement"](spark, sf_dir)))
+    timed("snm_recall_audit",
+          lambda: _force(q["snm_recall_audit"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage

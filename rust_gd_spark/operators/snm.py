@@ -185,3 +185,61 @@ def snm_candidate_pairs_sql(
         from ranked l join ranked r
           on r.rank - l.rank between 1 and {window - 1}
     """
+
+
+def snm_recall_audit(
+    df: DataFrame,
+    id_col: str = "uid",
+    text_col: str = "text",
+    window: int = 10,
+    w_shingle: int = 5,
+    threshold: float = 0.5,
+    key: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Blocking-recall audit: SNM's verified pairs against the exact
+    inverted-index ground truth at the same threshold, as ONE summary
+    row::
+
+        (n_exact, n_snm, n_hit, n_spurious, recall)
+
+    The audit discipline of ``bbit_estimate_audit`` and the pruned-IVF
+    recall row applied to the blocking family: every approximate
+    candidate generator in this engine ships with an in-engine exact
+    measurement of what it misses. ``n_spurious`` (SNM pairs absent
+    from the exact set) is an INVARIANT zero — SNM verifies candidates
+    with the same exact Jaccard — so a nonzero value is a bug detector,
+    not a metric.
+
+    Scale: the exact side is calibration-scale by nature (the audit is
+    run on a sample or a small corpus to pick ``window``); both sides
+    are pair tables, the full-outer marker join is pair-bounded, and
+    the final aggregate is a single partial+final pass.
+    """
+    from rust_gd_spark.operators.minhash import exact_jaccard_pairs
+
+    exact = exact_jaccard_pairs(
+        df, id_col, text_col, w=w_shingle, threshold=threshold
+    ).select("id_l", "id_r", F.lit(1).alias("_e"))
+    snm = snm_near_dup_pairs(
+        df, id_col, text_col, window=window, w_shingle=w_shingle,
+        threshold=threshold, key=key, num_partitions=num_partitions,
+    ).select("id_l", "id_r", F.lit(1).alias("_s"))
+    j = exact.join(snm, ["id_l", "id_r"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("_e"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("_s"), F.lit(0))).cast("long").alias("n_snm"),
+        F.sum(
+            F.when(F.col("_e").isNotNull() & F.col("_s").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_exact",
+        "n_snm",
+        "n_hit",
+        (F.col("n_snm") - F.col("n_hit")).alias("n_spurious"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        ).alias("recall"),
+    )
