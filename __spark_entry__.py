@@ -1355,6 +1355,54 @@ def _q_snm_recall_audit(spark, sf_dir):
     )
 
 
+def _aug_misaligned_transcripts(spark, sf_dir):
+    """Transcripts + PLANTED role-alternation violations: every
+    ``doc_id % 40 == 0`` document re-logs into its conversation as an
+    extra constant-role 'assistant' turn at ``turn_idx = 1000 +
+    doc_id/50`` — conversations receiving several land consecutive
+    same-role turns (the double-logging exporter symptom); the base
+    fixture's role cycle (+2 mod 3 per turn) is violation-free, so
+    every violation the audit reports is a plant."""
+    tr = _transcripts_from_docs(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    extra = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 40 == 0)
+        .select(
+            F.format_string(
+                "conv-%04d", (F.col("doc_id") % 50).cast("int")
+            ).alias("conv_id"),
+            (F.lit(1000) + (F.col("doc_id") / 50).cast("int"))
+            .cast("int")
+            .alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            F.concat(F.col("text"), F.lit(" (relog)")).alias("text"),
+        )
+    )
+    return tr.unionByName(extra)
+
+
+def _q_role_alternation_audit(spark, sf_dir):
+    """Corpus-wide role-alternation violation report (double-logging /
+    split-message / interleaved-session ingestion symptom) —
+    `operators/convaudit.py` `role_alternation_audit` (one conversation
+    window exchange + a 1-row aggregate)."""
+    from rust_gd_spark.operators.convaudit import role_alternation_audit
+
+    return role_alternation_audit(_aug_misaligned_transcripts(spark, sf_dir))
+
+
+def _q_length_histogram(spark, sf_dir):
+    """Log2 token-length histogram with exact base-2-string bucketing
+    (sequence-packing sizing, truncation-artifact detection) —
+    `operators/histogram.py` `length_histogram` (one partial-agg
+    shuffle over ~60 bucket keys + a 1-row broadcast)."""
+    from rust_gd_spark.operators.histogram import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir), "text")
+
+
 def _aug_doubled_docs(spark, sf_dir):
     """Documents + PLANTED repetition-inflated variants: every
     ``doc_id % 25 == 0`` document reappears (id + 80000000) as its own
@@ -2434,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_outliers": _q_source_length_outliers,
         "lang_agreement": _q_lang_agreement,
         "snm_recall_audit": _q_snm_recall_audit,
+        "role_alternation_audit": _q_role_alternation_audit,
+        "length_histogram": _q_length_histogram,
         # session-3 families not yet covered by ANY driver pass — kept
         # inside the driver's ~50-query budget window (round-4 VERDICT
         # task 2's rule: least-recently-driver-verified first)
@@ -3713,6 +3763,35 @@ def _bag_jaccard_oracle_sql() -> str:
     """
 
 
+def _length_histogram_oracle_sql() -> str:
+    from rust_gd_spark.operators.histogram import length_histogram_sql
+
+    return length_histogram_sql("documents", "text")
+
+
+def _role_alternation_oracle_sql() -> str:
+    # Twin of _aug_misaligned_transcripts + role_alternation_audit: the
+    # planted rows use constant role/offset arithmetic identical in both
+    # engines; DuckDB // mirrors Spark's truncating int cast on the
+    # non-negative doc_id domain.
+    from rust_gd_spark.operators.convaudit import role_alternation_audit_sql
+
+    inner = role_alternation_audit_sql("maug", "conv_id", "turn_idx", "role")
+    return f"""
+        with tbase as ({_TURNS_BASE_SQL}),
+        maug as (
+          select conv_id, tid as turn_idx, role, text from tbase
+          union all
+          select printf('conv-%04d', (doc_id % 50)::int),
+                 (1000 + doc_id // 50)::int,
+                 'assistant',
+                 text || ' (relog)'
+          from documents where doc_id % 40 = 0
+        ),
+        {inner.lstrip().removeprefix('with')}
+    """
+
+
 def _lang_agreement_oracle_sql() -> str:
     from rust_gd_spark.operators.langaudit import lang_agreement_sql
 
@@ -4418,6 +4497,8 @@ def oracle_sql() -> dict[str, str]:
         "source_length_outliers": _length_outliers_oracle_sql(),
         "lang_agreement": _lang_agreement_oracle_sql(),
         "snm_recall_audit": _snm_recall_oracle_sql(),
+        "role_alternation_audit": _role_alternation_oracle_sql(),
+        "length_histogram": _length_histogram_oracle_sql(),
         "dedup_rate_by_source": """
             with pk as (
               select source, md5(coalesce(text, '')) as k, count(*) as c

@@ -335,6 +335,10 @@ def main() -> None:
           lambda: _force(q["lang_agreement"](spark, sf_dir)))
     timed("snm_recall_audit",
           lambda: _force(q["snm_recall_audit"](spark, sf_dir)))
+    timed("role_alternation_audit",
+          lambda: _force(q["role_alternation_audit"](spark, sf_dir)))
+    timed("length_histogram",
+          lambda: _force(q["length_histogram"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage
