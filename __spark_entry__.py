@@ -2497,12 +2497,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_candidates": _q_snm_candidates,
         "snm_pairs": _q_snm_pairs,
         "lsh_param_plan": _q_lsh_param_plan,
-        # rows-only (non-SQL-expressible: simhash fingerprint family; GD
-        # base/deviation byte contents — chunk counts ARE oracle-checked
-        # via gd_chunk_stats, round-trip via gd_roundtrip)
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash_rotation_pairs": _q_simhash_rotation_pairs,
-        "gd_decompose_metrics": _q_gd_decompose_metrics,
         # oracle-checked, driver-green in r4
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2554,6 +2548,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
         "event_quantiles": _q_event_quantiles,
+        # rows-only (non-SQL-expressible: simhash fingerprint family; GD
+        # base/deviation byte contents — chunk counts ARE oracle-checked
+        # via gd_chunk_stats, round-trip via gd_roundtrip). Deliberately
+        # LAST: under a count-bounded driver budget these produce only
+        # the weak rows-only signal, so they are the right rows to fall
+        # outside the window; each is pytest-pinned (recall/planted-d
+        # properties) independently of the driver.
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_rotation_pairs": _q_simhash_rotation_pairs,
+        "gd_decompose_metrics": _q_gd_decompose_metrics,
     }
 
 
