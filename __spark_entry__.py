@@ -1403,6 +1403,86 @@ def _q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir), "text")
 
 
+_PII_PLANTS = (
+    " mail bob@example.com",
+    " ssn 123-45-6789",
+    " host 10.0.0.1",
+    " call +1 (555) 123-4567",
+)
+
+
+def _aug_pii_docs(spark, sf_dir):
+    """Documents + PLANTED PII: every ``doc_id % 25 == 0`` document
+    reappears (id + 99300000) with one PII family appended, the family
+    cycling by ``(doc_id % 100) / 25`` — so each source shows non-zero
+    incidence for a known family mix (the base corpus is PII-free)."""
+    d0 = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    plant = F.element_at(
+        F.array(*[F.lit(p) for p in _PII_PLANTS]),
+        ((F.col("doc_id") % 100) / 25).cast("int") + 1,
+    )
+    v = d0.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 99300000).alias("doc_id"),
+        F.concat(F.col("text"), plant).alias("text"),
+        "source",
+    )
+    return d0.unionByName(v)
+
+
+def _aug_hygiene_docs(spark, sf_dir):
+    """Documents + PLANTED schema-integrity defects: NULL text
+    (``doc_id % 100 == 0``, id + 99000000), whitespace-only text
+    (``% 100 == 25``, consistent n_chars so only the blank counter
+    fires), an n_chars drifted by +7 (``% 100 == 50``), and a
+    duplicated primary id (``% 100 == 75`` re-emitted verbatim)."""
+    d0 = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    nulls = d0.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 99000000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        "source",
+        "n_chars",
+    )
+    blanks = d0.filter(F.col("doc_id") % 100 == 25).select(
+        (F.col("doc_id") + 99100000).alias("doc_id"),
+        F.lit("   ").alias("text"),
+        "source",
+        F.lit(3).cast("long").alias("n_chars"),
+    )
+    drifted = d0.filter(F.col("doc_id") % 100 == 50).select(
+        (F.col("doc_id") + 99200000).alias("doc_id"),
+        "text",
+        "source",
+        (F.col("n_chars") + 7).alias("n_chars"),
+    )
+    dups = d0.filter(F.col("doc_id") % 100 == 75)
+    return d0.unionByName(nulls).unionByName(blanks).unionByName(
+        drifted
+    ).unionByName(dups)
+
+
+def _q_pii_incidence(spark, sf_dir):
+    """Per-(source, PII family) incidence table (privacy-review and
+    redaction-prioritization input) — `operators/hygiene.py`
+    `pii_incidence_report` (one partial-agg shuffle, codegen regex
+    counts, literal-stack unpivot post-aggregation)."""
+    from rust_gd_spark.operators.hygiene import pii_incidence_report
+
+    return pii_incidence_report(_aug_pii_docs(spark, sf_dir), "text", "source")
+
+
+def _q_ingest_hygiene(spark, sf_dir):
+    """Per-source schema-integrity report: NULL/blank text, drifted
+    n_chars, duplicated primary ids — the pipeline-precondition checks
+    every dedup tier's (id, text) keying depends on —
+    `operators/hygiene.py` `ingest_hygiene_report` (one partial-agg
+    shuffle)."""
+    from rust_gd_spark.operators.hygiene import ingest_hygiene_report
+
+    return ingest_hygiene_report(
+        _aug_hygiene_docs(spark, sf_dir), "doc_id", "text", "source", "n_chars"
+    )
+
+
 def _aug_doubled_docs(spark, sf_dir):
     """Documents + PLANTED repetition-inflated variants: every
     ``doc_id % 25 == 0`` document reappears (id + 80000000) as its own
@@ -2484,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_recall_audit": _q_snm_recall_audit,
         "role_alternation_audit": _q_role_alternation_audit,
         "length_histogram": _q_length_histogram,
+        "pii_incidence": _q_pii_incidence,
+        "ingest_hygiene": _q_ingest_hygiene,
         # session-3 families not yet covered by ANY driver pass — kept
         # inside the driver's ~50-query budget window (round-4 VERDICT
         # task 2's rule: least-recently-driver-verified first)
@@ -3767,6 +3849,57 @@ def _bag_jaccard_oracle_sql() -> str:
     """
 
 
+def _pii_incidence_oracle_sql() -> str:
+    # Twin of _aug_pii_docs + pii_incidence_report: the planted strings
+    # are literal constants and the count expressions come from the same
+    # PII_PATTERNS via pii_count_sql, so both engines run the real
+    # regexes over the same augmented table.
+    from rust_gd_spark.operators.hygiene import pii_incidence_report_sql
+
+    lits = ", ".join("'" + p.replace("'", "''") + "'" for p in _PII_PLANTS)
+    inner = pii_incidence_report_sql("paug", "text", "source")
+    return f"""
+        with d0 as (select doc_id, text, source from documents),
+        paug as (
+          select * from d0
+          union all
+          select doc_id + 99300000,
+                 text || ([{lits}])[((doc_id % 100) // 25) + 1],
+                 source
+          from d0 where doc_id % 25 = 0
+        ),
+        {inner.lstrip().removeprefix('with')}
+    """
+
+
+def _ingest_hygiene_oracle_sql() -> str:
+    # Twin of _aug_hygiene_docs + ingest_hygiene_report.
+    from rust_gd_spark.operators.hygiene import ingest_hygiene_report_sql
+
+    inner = ingest_hygiene_report_sql(
+        "haug", "doc_id", "text", "source", "n_chars"
+    )
+    return f"""
+        with d0 as (select doc_id, text, source, n_chars from documents),
+        haug as (
+          select * from d0
+          union all
+          select doc_id + 99000000, null, source, n_chars
+          from d0 where doc_id % 100 = 0
+          union all
+          select doc_id + 99100000, '   ', source, 3
+          from d0 where doc_id % 100 = 25
+          union all
+          select doc_id + 99200000, text, source, n_chars + 7
+          from d0 where doc_id % 100 = 50
+          union all
+          select doc_id, text, source, n_chars
+          from d0 where doc_id % 100 = 75
+        )
+        {inner}
+    """
+
+
 def _length_histogram_oracle_sql() -> str:
     from rust_gd_spark.operators.histogram import length_histogram_sql
 
@@ -4503,6 +4636,8 @@ def oracle_sql() -> dict[str, str]:
         "snm_recall_audit": _snm_recall_oracle_sql(),
         "role_alternation_audit": _role_alternation_oracle_sql(),
         "length_histogram": _length_histogram_oracle_sql(),
+        "pii_incidence": _pii_incidence_oracle_sql(),
+        "ingest_hygiene": _ingest_hygiene_oracle_sql(),
         "dedup_rate_by_source": """
             with pk as (
               select source, md5(coalesce(text, '')) as k, count(*) as c

@@ -339,6 +339,10 @@ def main() -> None:
           lambda: _force(q["role_alternation_audit"](spark, sf_dir)))
     timed("length_histogram",
           lambda: _force(q["length_histogram"](spark, sf_dir)))
+    timed("pii_incidence",
+          lambda: _force(q["pii_incidence"](spark, sf_dir)))
+    timed("ingest_hygiene",
+          lambda: _force(q["ingest_hygiene"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage
