@@ -1460,6 +1460,23 @@ def _aug_hygiene_docs(spark, sf_dir):
     ).unionByName(dups)
 
 
+def _q_packing_stats(spark, sf_dir):
+    """Packing-efficiency summary over the context-window packing plan
+    (the capacity-selection / pad-waste view) — `operators/packing.py`
+    `packing_stats` (per-sequence fill agg + a 1-row global aggregate
+    on top of the sequence_packing plan)."""
+    from rust_gd_spark.functions.textstats import token_count
+    from rust_gd_spark.operators.packing import pack_sequences, packing_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    plan = pack_sequences(
+        d, "doc_id", "n_tok", capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+    return packing_stats(plan, PACK_CAPACITY)
+
+
 def _q_pii_incidence(spark, sf_dir):
     """Per-(source, PII family) incidence table (privacy-review and
     redaction-prioritization input) — `operators/hygiene.py`
@@ -2566,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "pii_incidence": _q_pii_incidence,
         "ingest_hygiene": _q_ingest_hygiene,
+        "packing_stats": _q_packing_stats,
         # session-3 families not yet covered by ANY driver pass — kept
         # inside the driver's ~50-query budget window (round-4 VERDICT
         # task 2's rule: least-recently-driver-verified first)
@@ -3849,6 +3867,14 @@ def _bag_jaccard_oracle_sql() -> str:
     """
 
 
+def _packing_stats_oracle_sql() -> str:
+    # Twin of _q_packing_stats: the same recursive-CTE packing replay
+    # (the sequence_packing oracle) aggregated by the packing_stats twin.
+    from rust_gd_spark.operators.packing import packing_stats_sql
+
+    return packing_stats_sql(_sequence_packing_oracle_sql(), PACK_CAPACITY)
+
+
 def _pii_incidence_oracle_sql() -> str:
     # Twin of _aug_pii_docs + pii_incidence_report: the planted strings
     # are literal constants and the count expressions come from the same
@@ -4638,6 +4664,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": _length_histogram_oracle_sql(),
         "pii_incidence": _pii_incidence_oracle_sql(),
         "ingest_hygiene": _ingest_hygiene_oracle_sql(),
+        "packing_stats": _packing_stats_oracle_sql(),
         "dedup_rate_by_source": """
             with pk as (
               select source, md5(coalesce(text, '')) as k, count(*) as c

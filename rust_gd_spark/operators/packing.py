@@ -129,3 +129,78 @@ def pack_sequences_sql(
         )
         select id, shard, n_tokens, seq_id, seq_offset from packed
     """
+
+
+def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Packing-efficiency report over a :func:`pack_sequences` plan —
+    the one-row summary a pipeline engineer reads to pick ``capacity``
+    (and to catch a token-count regression inflating pad waste)::
+
+        (n_docs, n_seqs, total_tokens, budget_tokens, pad_tokens,
+         fill_frac, n_oversize_seqs, max_docs_per_seq)
+
+    * ``budget_tokens`` = n_seqs × capacity — what the training loader
+      pays; ``pad_tokens`` = Σ max(capacity − fill, 0) per sequence —
+      what it wastes (an OVERSIZE singleton contributes 0 pad; it is
+      counted in ``n_oversize_seqs`` instead, the loader's truncation
+      problem);
+    * ``fill_frac`` = total_tokens / budget_tokens, 6-dp display
+      rounding of an exact integer ratio.
+
+    Scale: one partial+final aggregation on (shard, seq_id) — the
+    per-sequence fill — then a single-row global aggregate. Exact
+    integer arithmetic throughout.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum("n_tokens").alias("_fill"),
+    )
+    return per_seq.agg(
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("_fill").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) * capacity).cast("long").alias("budget_tokens"),
+        F.sum(F.greatest(F.lit(capacity) - F.col("_fill"), F.lit(0)))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.sum(F.when(F.col("_fill") > capacity, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize_seqs"),
+        F.max("_docs").cast("long").alias("max_docs_per_seq"),
+    ).select(
+        "n_docs",
+        "n_seqs",
+        "total_tokens",
+        "budget_tokens",
+        "pad_tokens",
+        F.round(F.col("total_tokens") / F.col("budget_tokens"), 6).alias(
+            "fill_frac"
+        ),
+        "n_oversize_seqs",
+        "max_docs_per_seq",
+    )
+
+
+def packing_stats_sql(packed_sql: str, capacity: int) -> str:
+    """ANSI-SQL twin of :func:`packing_stats` over a packing-plan
+    subquery (DuckDB-ready)."""
+    return f"""
+        with pk_plan as ({packed_sql}),
+        per_seq as (
+          select shard, seq_id, count(*) as docs, sum(n_tokens) as fill
+          from pk_plan group by shard, seq_id
+        )
+        select sum(docs)::bigint as n_docs,
+               count(*)::bigint as n_seqs,
+               sum(fill)::bigint as total_tokens,
+               (count(*) * {capacity})::bigint as budget_tokens,
+               sum(greatest({capacity} - fill, 0))::bigint as pad_tokens,
+               round(sum(fill)::double / (count(*) * {capacity}), 6)
+                 as fill_frac,
+               sum(case when fill > {capacity} then 1 else 0 end)::bigint
+                 as n_oversize_seqs,
+               max(docs)::bigint as max_docs_per_seq
+        from per_seq
+    """
