@@ -1460,6 +1460,72 @@ def _aug_hygiene_docs(spark, sf_dir):
     ).unionByName(dups)
 
 
+def _aug_bad_embeddings(spark, sf_dir):
+    """Embeddings + PLANTED vector defects (id + 990000000): a NULL
+    vector (``vec_id % 100 == 0``), a truncated 63-dim vector
+    (``% 100 == 25``), a NaN-poisoned vector (``% 100 == 50``: last
+    component replaced by NaN), and an all-zero vector
+    (``% 100 == 75``) — one defect class per id stratum on a base
+    corpus that is provably clean (the audit's zero rows come from the
+    base, its nonzero rows from the plants)."""
+    from rust_gd_spark.session import ensure_min_partitions
+
+    e0 = ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).select("vec_id", "embedding")
+    v = F.col("embedding")
+    nulls = e0.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 990000000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    short = e0.filter(F.col("vec_id") % 100 == 25).select(
+        (F.col("vec_id") + 990000000).alias("vec_id"),
+        F.slice(v, 1, 63).alias("embedding"),
+    )
+    nan = e0.filter(F.col("vec_id") % 100 == 50).select(
+        (F.col("vec_id") + 990000000).alias("vec_id"),
+        F.concat(
+            F.slice(v, 1, 63),
+            F.array(F.lit(float("nan")).cast("float")),
+        ).alias("embedding"),
+    )
+    zero = e0.filter(F.col("vec_id") % 100 == 75).select(
+        (F.col("vec_id") + 990000000).alias("vec_id"),
+        F.transform(v, lambda x: F.lit(0.0).cast("float")).alias("embedding"),
+    )
+    return e0.unionByName(nulls).unionByName(short).unionByName(
+        nan
+    ).unionByName(zero)
+
+
+def _q_embedding_hygiene(spark, sf_dir):
+    """One-row embedding schema-integrity report (NULL / wrong-dim /
+    NaN-poisoned / all-zero vectors) run BEFORE the ANN/SemDeDup tiers
+    — `operators/embhygiene.py` `embedding_hygiene` (codegen array
+    lambdas, one single-row aggregate, integer counts only — no float
+    aggregation, so no summation-order hazard)."""
+    from rust_gd_spark.operators.embhygiene import embedding_hygiene
+
+    return embedding_hygiene(
+        _aug_bad_embeddings(spark, sf_dir), "embedding", expected_dim=64
+    )
+
+
+def _q_conv_turns_histogram(spark, sf_dir):
+    """Log2 histogram of turns-per-conversation (session-length shape:
+    mass at 1-turn buckets means broken sessionization, a heavy tail
+    means runaway agents) — `operators/histogram.py` `value_histogram`
+    over per-conversation turn counts (two partial-agg shuffles)."""
+    from rust_gd_spark.operators.histogram import value_histogram
+
+    cc = (
+        _transcripts_from_docs(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return value_histogram(cc, "n_turns")
+
+
 def _q_packing_stats(spark, sf_dir):
     """Packing-efficiency summary over the context-window packing plan
     (the capacity-selection / pad-waste view) — `operators/packing.py`
@@ -2584,6 +2650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_incidence": _q_pii_incidence,
         "ingest_hygiene": _q_ingest_hygiene,
         "packing_stats": _q_packing_stats,
+        "embedding_hygiene": _q_embedding_hygiene,
+        "conv_turns_histogram": _q_conv_turns_histogram,
         # session-3 families not yet covered by ANY driver pass — kept
         # inside the driver's ~50-query budget window (round-4 VERDICT
         # task 2's rule: least-recently-driver-verified first)
@@ -3867,6 +3935,46 @@ def _bag_jaccard_oracle_sql() -> str:
     """
 
 
+def _embedding_hygiene_oracle_sql() -> str:
+    # Twin of _aug_bad_embeddings + embedding_hygiene: list_transform /
+    # slice / NaN-literal plants mirrored exactly; 'nan'::float round-
+    # trips bit-identically through parquet-free in-query construction.
+    from rust_gd_spark.operators.embhygiene import embedding_hygiene_sql
+
+    inner = embedding_hygiene_sql("eaug", "embedding", expected_dim=64)
+    return f"""
+        with e0 as (select vec_id, embedding from embeddings),
+        eaug as (
+          select * from e0
+          union all
+          select vec_id + 990000000, null from e0 where vec_id % 100 = 0
+          union all
+          select vec_id + 990000000, embedding[1:63]
+          from e0 where vec_id % 100 = 25
+          union all
+          select vec_id + 990000000,
+                 embedding[1:63] || ['nan'::float]
+          from e0 where vec_id % 100 = 50
+          union all
+          select vec_id + 990000000,
+                 list_transform(embedding, x -> 0::float)
+          from e0 where vec_id % 100 = 75
+        )
+        {inner}
+    """
+
+
+def _conv_turns_histogram_oracle_sql() -> str:
+    from rust_gd_spark.operators.histogram import value_histogram_sql
+
+    inner = value_histogram_sql("cc", "n_turns")
+    return f"""
+        with tr as ({_TURNS_BASE_SQL}),
+        cc as (select conv_id, count(*) as n_turns from tr group by conv_id),
+        {inner.lstrip().removeprefix('with')}
+    """
+
+
 def _packing_stats_oracle_sql() -> str:
     # Twin of _q_packing_stats: the same recursive-CTE packing replay
     # (the sequence_packing oracle) aggregated by the packing_stats twin.
@@ -4665,6 +4773,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_incidence": _pii_incidence_oracle_sql(),
         "ingest_hygiene": _ingest_hygiene_oracle_sql(),
         "packing_stats": _packing_stats_oracle_sql(),
+        "embedding_hygiene": _embedding_hygiene_oracle_sql(),
+        "conv_turns_histogram": _conv_turns_histogram_oracle_sql(),
         "dedup_rate_by_source": """
             with pk as (
               select source, md5(coalesce(text, '')) as k, count(*) as c

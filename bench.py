@@ -345,6 +345,10 @@ def main() -> None:
           lambda: _force(q["ingest_hygiene"](spark, sf_dir)))
     timed("packing_stats",
           lambda: _force(q["packing_stats"](spark, sf_dir)))
+    timed("embedding_hygiene",
+          lambda: _force(q["embedding_hygiene"](spark, sf_dir)))
+    timed("conv_turns_histogram",
+          lambda: _force(q["conv_turns_histogram"](spark, sf_dir)))
 
     # high-similarity ANN — the true LSH regime (τ=0.9, nbits=256), now a
     # queries() entry with planted near-dups and a DuckDB oracle. Stage

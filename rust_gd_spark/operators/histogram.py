@@ -31,12 +31,25 @@ from pyspark.sql import DataFrame, functions as F
 from rust_gd_spark.functions.textstats import token_count, token_count_sql
 
 
+def value_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """Log2 histogram over any non-negative integer column — the same
+    exact base-2-string bucketing as :func:`length_histogram`, reusable
+    for turns-per-conversation, bytes-per-asset, chunk counts, etc.
+    Output schema is identical (``lo_tokens`` reads as the bucket's
+    inclusive lower edge in the column's own unit)."""
+    n = F.col(value_col).cast("long")
+    return _log2_histogram(df, n)
+
+
 def length_histogram(
     df: DataFrame,
     text_col: str = "text",
 ) -> DataFrame:
     """Log2 token-length histogram (module docstring)."""
-    n = token_count(F.col(text_col)).cast("long")
+    return _log2_histogram(df, token_count(F.col(text_col)).cast("long"))
+
+
+def _log2_histogram(df: DataFrame, n) -> DataFrame:
     b = (
         df.select(
             (F.length(F.conv(n.cast("string"), 10, 2)) - 1)
@@ -70,7 +83,13 @@ def length_histogram(
 
 def length_histogram_sql(table: str, text_col: str = "text") -> str:
     """ANSI-SQL twin of :func:`length_histogram` (DuckDB-ready)."""
-    n = token_count_sql(text_col)
+    return value_histogram_sql(table, token_count_sql(text_col))
+
+
+def value_histogram_sql(table: str, value_expr: str) -> str:
+    """ANSI-SQL twin of :func:`value_histogram` over any non-negative
+    integer expression (DuckDB-ready)."""
+    n = value_expr
     return f"""
         with d as (
           select (length(bin(({n})::bigint)) - 1)::int as bucket,
