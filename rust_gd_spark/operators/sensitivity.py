@@ -105,10 +105,14 @@ def threshold_sensitivity_sql(
 
     ``pairs_sql`` is a subquery yielding the same pair list with the
     same UNROUNDED similarity column. Thresholds are emitted as
-    ``::double`` literals so the twin's column dtype matches Spark's.
+    ``cast('<repr>' as double)`` — string→double uses strtod, which
+    round-trips Python's shortest-repr floats bit-exactly, whereas a
+    bare numeric literal goes through DECIMAL first and can land one
+    ulp off for >15-significant-digit thresholds (caught by the
+    hypothesis twin test).
     """
     ts = _clean_grid(grid)
-    lits = ", ".join(f"{t!r}::double" for t in ts)
+    lits = ", ".join(f"cast('{t!r}' as double)" for t in ts)
     return f"""
         with pairs as ({pairs_sql}),
         grid as (select unnest([{lits}]) as threshold),
