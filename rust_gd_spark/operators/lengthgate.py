@@ -52,6 +52,12 @@ def source_length_outliers(
         )
         .groupBy("source", "v")
         .agg(F.count("*").alias("c"))
+        # vc feeds three branches (cum/quartiles, totals, fence counts);
+        # without materialization Catalyst re-evaluates the CORPUS
+        # aggregation once per branch — three full scans at 100 TB.
+        # The materialized table is bounded by distinct (source, length)
+        # pairs, not documents (the snm.py candidate convention).
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("source").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -77,9 +83,12 @@ def source_length_outliers(
         (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("low_fence"),
         (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("high_fence"),
     )
+    # group by the fence columns (functionally dependent on source) so
+    # fences has exactly ONE consumer — a second consumer would make
+    # Catalyst re-evaluate the quartile window subtree per branch
     counts = (
         vc.join(fences, "source")
-        .groupBy("source")
+        .groupBy("source", "q1", "q3", "low_fence", "high_fence")
         .agg(
             F.sum(F.when(F.col("v") < F.col("low_fence"), F.col("c")).otherwise(0))
             .cast("long")
@@ -90,8 +99,7 @@ def source_length_outliers(
         )
     )
     return (
-        totals.join(fences, "source")
-        .join(counts, "source")
+        totals.join(counts, "source")
         .select(
             "source", "n_docs", "q1", "q3",
             "low_fence", "high_fence", "n_low", "n_high",

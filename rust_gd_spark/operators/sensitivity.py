@@ -85,7 +85,9 @@ def threshold_sensitivity(
         F.count_distinct("_doc").alias("n_docs"),
     )
     return (
-        grid_df.join(agg, "threshold", "left")
+        # the post-aggregation side is ≤|grid| rows — broadcast it so the
+        # join-back never plans as a sort-merge exchange
+        grid_df.join(F.broadcast(agg), "threshold", "left")
         .select(
             "threshold",
             F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
