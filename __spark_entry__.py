@@ -1294,7 +1294,7 @@ def _q_dup_burst_windows(spark, sf_dir):
     from rust_gd_spark.operators.recrawl import dup_burst_windows
 
     return dup_burst_windows(
-        _aug_recrawl_docs(spark, sf_dir), "doc_id", "text", "ts",
+        _aug_recrawl_docs(spark, sf_dir), "text", "ts",
         bucket_sec=3600, factor_num=3, factor_den=2, min_docs=2,
     )
 
@@ -1358,8 +1358,11 @@ def _q_snm_recall_audit(spark, sf_dir):
 def _aug_misaligned_transcripts(spark, sf_dir):
     """Transcripts + PLANTED role-alternation violations: every
     ``doc_id % 40 == 0`` document re-logs into its conversation as an
-    extra constant-role 'assistant' turn at ``turn_idx = 1000 +
-    doc_id/50`` — conversations receiving several land consecutive
+    extra constant-role 'assistant' turn at ``turn_idx = 10**9 +
+    doc_id/50`` (an offset no base conversation can reach before int32
+    overflow would break the schema itself, so plant ordering keys
+    never collide with base turn indices at any sf) — conversations
+    receiving several land consecutive
     same-role turns (the double-logging exporter symptom); the base
     fixture's role cycle (+2 mod 3 per turn) is violation-free, so
     every violation the audit reports is a plant."""
@@ -1373,7 +1376,7 @@ def _aug_misaligned_transcripts(spark, sf_dir):
             F.format_string(
                 "conv-%04d", (F.col("doc_id") % 50).cast("int")
             ).alias("conv_id"),
-            (F.lit(1000) + (F.col("doc_id") / 50).cast("int"))
+            (F.lit(1_000_000_000) + (F.col("doc_id") / 50).cast("int"))
             .cast("int")
             .alias("turn_idx"),
             F.lit("assistant").alias("role"),
@@ -4054,7 +4057,7 @@ def _role_alternation_oracle_sql() -> str:
           select conv_id, tid as turn_idx, role, text from tbase
           union all
           select printf('conv-%04d', (doc_id % 50)::int),
-                 (1000 + doc_id // 50)::int,
+                 (1000000000 + doc_id // 50)::int,
                  'assistant',
                  text || ' (relog)'
           from documents where doc_id % 40 = 0
@@ -4173,7 +4176,7 @@ def _dup_burst_oracle_sql() -> str:
 
     base = "timestamp '2026-01-01 00:00:00'"
     inner = dup_burst_windows_sql(
-        "raug", "doc_id", "text", "ts",
+        "raug", "text", "ts",
         bucket_sec=3600, factor_num=3, factor_den=2, min_docs=2,
     )
     return f"""

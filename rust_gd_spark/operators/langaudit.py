@@ -51,7 +51,13 @@ def lang_agreement(
         lang_id(F.col(text_col)).alias("detected"),
     )
     cells = d.groupBy("claimed", "detected").agg(F.count("*").alias("n_docs"))
-    totals = d.groupBy("claimed").agg(F.count("*").alias("claimed_total"))
+    # claimed totals are derived FROM the cells (sum of the row), never
+    # from a second aggregation over d — two different partitionings of
+    # the raw projection would make Catalyst re-evaluate the full-text
+    # detector regex per branch: two corpus scans for one matrix
+    totals = cells.groupBy("claimed").agg(
+        F.sum("n_docs").alias("claimed_total")
+    )
     return cells.join(totals, "claimed").select(
         "claimed",
         "detected",
@@ -80,7 +86,8 @@ def lang_agreement_sql(
           from d group by claimed, detected
         ),
         totals as (
-          select claimed, count(*) as claimed_total from d group by claimed
+          select claimed, sum(n_docs) as claimed_total
+          from cells group by claimed
         )
         select c.claimed, c.detected,
                c.n_docs::bigint as n_docs,

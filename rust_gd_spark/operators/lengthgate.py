@@ -43,21 +43,32 @@ def source_length_outliers(
     k: int = 3,
 ) -> DataFrame:
     """Exact per-source quartiles, Tukey fences, and outlier counts
-    (module docstring). ``k`` is the integer fence multiplier."""
+    (module docstring). ``k`` is the integer fence multiplier.
+
+    NULL lengths are EXCLUDED before ranking (they are
+    ``ingest_hygiene_report``'s domain, and Spark's NULLS FIRST vs
+    DuckDB's NULLS LAST window ordering would silently skew the
+    cumulative ranks on any feed that ships them); ``n_docs`` counts
+    ranked rows only.
+    """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark import StorageLevel
+
     vc = (
         df.select(
             F.col(source_col).alias("source"), F.col(length_col).alias("v")
         )
+        .filter(F.col("v").isNotNull())
         .groupBy("source", "v")
         .agg(F.count("*").alias("c"))
         # vc feeds three branches (cum/quartiles, totals, fence counts);
-        # without materialization Catalyst re-evaluates the CORPUS
-        # aggregation once per branch — three full scans at 100 TB.
-        # The materialized table is bounded by distinct (source, length)
-        # pairs, not documents (the snm.py candidate convention).
-        .localCheckpoint(eager=True)
+        # without caching Catalyst re-evaluates the CORPUS aggregation
+        # once per branch — three full scans at 100 TB. persist (not
+        # localCheckpoint) keeps the operator lazy and the lineage
+        # replayable after executor loss; the cached table is bounded by
+        # distinct (source, length) pairs, not documents.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.partitionBy("source").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -118,7 +129,7 @@ def source_length_outliers_sql(
     return f"""
         with vc as (
           select {source_col} as source, {length_col} as v, count(*) as c
-          from {table} group by 1, 2
+          from {table} where {length_col} is not null group by 1, 2
         ),
         cum as (
           select *, sum(c) over (partition by source order by v

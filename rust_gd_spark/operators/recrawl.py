@@ -87,7 +87,6 @@ def recrawl_groups(
 
 def dup_burst_windows(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     ts_col: str = "ts",
     bucket_sec: int = 3600,
@@ -110,12 +109,16 @@ def dup_burst_windows(
     * ``bucket_epoch`` — bucket start in epoch seconds (``e - e %
       bucket_sec``: exact integer arithmetic, identical in both engines
       for the non-negative epochs of real capture times);
-    * ``is_burst`` — 1 where ``n_docs >= min_docs`` and ``dup_frac >=
-      (factor_num/factor_den) · global_dup_frac``. The factor is an
-      integer RATIONAL and the test is the cross-multiplied integer
-      comparison — no float boundary can flip a row between engines.
-      Cross-products are computed in decimal(38,0)/HUGEINT so
-      planet-scale counts cannot overflow int64;
+    * ``is_burst`` — 1 where ``n_dup_docs > 0`` and ``n_docs >=
+      min_docs`` and ``dup_frac >= (factor_num/factor_den) ·
+      global_dup_frac``. The ``n_dup_docs > 0`` guard matters: on a
+      duplicate-free corpus the cross-multiplied test degenerates to
+      ``0 >= 0`` and would flag every bucket of a perfectly healthy
+      feed. The factor is an integer RATIONAL and the test is the
+      cross-multiplied integer comparison — no float boundary can flip
+      a row between engines. Cross-products are computed in
+      decimal(38,0)/HUGEINT so planet-scale counts cannot overflow
+      int64;
     * ``dup_frac``/``global_dup_frac`` are 6-dp display roundings; the
       flag never reads them.
 
@@ -160,7 +163,8 @@ def dup_burst_windows(
                 "global_dup_frac"
             ),
             F.when(
-                (F.col("n_docs") >= min_docs)
+                (F.col("n_dup_docs") > 0)
+                & (F.col("n_docs") >= min_docs)
                 & (
                     F.col("n_dup_docs").cast(dec)
                     * F.col("_tot_docs").cast(dec)
@@ -179,7 +183,6 @@ def dup_burst_windows(
 
 def dup_burst_windows_sql(
     table: str,
-    id_col: str = "doc_id",
     text_col: str = "text",
     ts_col: str = "ts",
     bucket_sec: int = 3600,
@@ -219,7 +222,8 @@ def dup_burst_windows_sql(
                h.n_dup_docs::bigint as n_dup_docs,
                round(h.n_dup_docs::double / h.n_docs, 6) as dup_frac,
                round(t.tot_dup::double / t.tot_docs, 6) as global_dup_frac,
-               case when h.n_docs >= {min_docs}
+               case when h.n_dup_docs > 0
+                     and h.n_docs >= {min_docs}
                      and h.n_dup_docs::hugeint * t.tot_docs::hugeint
                          * {factor_den}
                          >= h.n_docs::hugeint * t.tot_dup::hugeint

@@ -35,6 +35,30 @@ def test_source_length_outliers(spark):
     assert out["B"] == (8, 2, 6, -10, 18, 0, 0)
 
 
+def test_source_length_outliers_null_lengths_excluded(spark):
+    # regression (code-review finding): NULL lengths would rank NULLS
+    # FIRST in Spark but NULLS LAST in DuckDB, silently skewing the
+    # quartiles — both engines must exclude them before ranking
+    from rust_gd_spark.operators.lengthgate import (
+        source_length_outliers,
+        source_length_outliers_sql,
+    )
+
+    rows = [(1, "A", None), (2, "A", None), (3, "A", 10), (4, "A", 20),
+            (5, "A", 30), (6, "A", 40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = source_length_outliers(df, "source", "n_chars").collect()[0]
+    assert r.n_docs == 4          # NULLs are not ranked rows
+    assert (r.q1, r.q3) == (10, 30)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    con = duckdb.connect()
+    con.register("dn", pdf)
+    duck = con.execute(
+        source_length_outliers_sql("dn", "source", "n_chars")
+    ).fetchall()
+    assert [tuple(x) for x in duck] == [tuple(r)]
+
+
 def test_source_length_outliers_twin_parity(spark):
     from rust_gd_spark.operators.lengthgate import (
         source_length_outliers,

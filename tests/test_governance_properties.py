@@ -151,7 +151,8 @@ def test_dup_burst_twin_exact(docs):
         texts = buckets[be]
         assert n_docs == len(texts)
         assert n_dup == sum(1 for t in texts if key_counts[t] > 1)
-        expect_burst = int(n_dup * tot * 2 >= n_docs * tot_dup * 3)
+        # the n_dup > 0 guard: a duplicate-free corpus must never alert
+        expect_burst = int(n_dup > 0 and n_dup * tot * 2 >= n_docs * tot_dup * 3)
         assert burst == expect_burst
     assert sum(r[1] for r in rows) == tot
 

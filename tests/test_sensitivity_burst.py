@@ -112,6 +112,28 @@ def test_dup_burst_windows(spark):
     assert out[e1][1] == 1
 
 
+def test_dup_burst_clean_corpus_never_alerts(spark):
+    # regression (code-review finding): with zero duplicates anywhere the
+    # cross-multiplied test degenerates to 0 >= 0 — the n_dup_docs > 0
+    # guard must keep a healthy feed alert-free
+    from datetime import datetime
+
+    from rust_gd_spark.operators.recrawl import dup_burst_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", datetime(2026, 1, 1, 0, 5)),
+            (2, "b", datetime(2026, 1, 1, 0, 6)),
+            (3, "c", datetime(2026, 1, 1, 1, 5)),
+            (4, "d", datetime(2026, 1, 1, 1, 6)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    )
+    rows = dup_burst_windows(df, min_docs=2).collect()
+    assert all(r.is_burst == 0 for r in rows)
+    assert all(r.n_dup_docs == 0 for r in rows)
+
+
 def test_dup_burst_twin_parity(spark):
     from rust_gd_spark.operators.recrawl import (
         dup_burst_windows,
