@@ -2556,8 +2556,14 @@ def _q_dedup_funnel(spark, sf_dir):
     from rust_gd_spark.operators.funnel import dedup_funnel
     from rust_gd_spark.pipeline import DedupConfig
 
+    # ids stay NUMERIC: the survivor rule is min(id) per key, and a
+    # string cast would make Spark pick the lexicographic minimum
+    # ("10" < "9") while the oracle picks the numeric one — a different
+    # SURVIVOR (with different text) feeding the near-dup tier. Caught
+    # by the sf0.001 cross-scale oracle sweep; int64 ids are also the
+    # faster shuffle key.
     d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("id"),
+        F.col("doc_id").alias("id"),
         F.expr(_planted_urls_expr("div")).alias("url"),
         "text",
     )
