@@ -140,8 +140,8 @@ def boilerplate_lines_sql(
                      list_filter(l, x -> trim(x) <> ''),
                      x -> length(x))), 0), 1),
                  6) as removed_char_frac,
-               array_to_string(
+               coalesce(array_to_string(
                  list_filter(l, x -> not list_contains(cl, x)),
-                 chr(10)) as cleaned_text
+                 chr(10)), '') as cleaned_text
         from t cross join cl
     """

@@ -88,3 +88,29 @@ def test_duckdb_parity(spark):
         {c: got[c].dtype for c in got.columns}
     )
     pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_boilerplate_all_lines_removed_twin_parity(spark):
+    """Regression (sf0.1 cross-scale sweep): when EVERY line of a
+    document is boilerplate, Spark's concat_ws yields '' but DuckDB's
+    array_to_string over an empty list yields NULL — the twin must
+    coalesce. Two single-line exact-dup docs lose their only line."""
+    rows = [(1, "same line"), (2, "same line"), (3, "unique line here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        boilerplate.boilerplate_lines(df, "doc_id", "text", min_docs=2)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[got["id"] == 1, "cleaned_text"].iloc[0] == ""
+    con = duckdb.connect()
+    con.register("docs2", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.sql(boilerplate.boilerplate_lines_sql("docs2", "doc_id", "text", 2))
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert want.loc[want["id"] == 1, "cleaned_text"].iloc[0] == ""
+    assert list(got["cleaned_text"]) == list(want["cleaned_text"])
