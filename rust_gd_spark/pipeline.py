@@ -147,11 +147,52 @@ class _StageRunner:
     def _committed(self, stage: str) -> bool:
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
-    def run(self, stage: str, build) -> DataFrame:
+    def run(
+        self,
+        stage: str,
+        build,
+        lazy: bool = False,
+        local_only: bool = False,
+    ) -> DataFrame:
+        """``lazy=True`` marks a stage whose output is consumed at most
+        once downstream (verify-pair frames, the pair union) or is an
+        optional side-product (skew-audit frames): with no checkpoint_dir
+        it is returned unmaterialized — the single consumer's action
+        evaluates it exactly once from the already-checkpointed upstream
+        stages, and an unread audit costs zero jobs (guide §1.2: don't
+        compute what you throw away — every removed ``localCheckpoint``
+        barrier is one fewer driver round-trip + eager job). With a
+        checkpoint_dir the stage still materializes so resumed runs keep
+        their parquet and the resume contract is unchanged.
+
+        ``local_only=True`` marks a REUSE point that is worth pinning in
+        executor memory interactively but not worth a full parquet write
+        in resume mode (the ``base`` stage: id-hashed corpus text — in
+        resume mode downstream stages inline it, exactly the pre-round-6
+        plan shape)."""
         t0 = time.monotonic()
         resumed = False
+        if self.dir is None and lazy:
+            out = build()
+            with self._lock:
+                self.metrics.append(
+                    (self.run_id, stage, -1,
+                     int((time.monotonic() - t0) * 1000), False)
+                )
+            return out
+        if self.dir is not None and local_only:
+            # inline in resume mode — not a materialized stage, so it has
+            # no metrics row (a fully-resumed run stays all-resumed)
+            return build()
         if self.dir is None:
-            out = build().localCheckpoint(eager=True)
+            # label the stage's jobs (guide §1.5) — build() may itself run
+            # eager sub-jobs (internal checkpoints/probes), so set the
+            # description around the whole block
+            self.spark.sparkContext.setJobDescription(f"stage:{stage}")
+            try:
+                out = build().localCheckpoint(eager=True)
+            finally:
+                self.spark.sparkContext.setJobDescription(None)
         elif self._committed(stage):
             out = self.spark.read.parquet(self._path(stage))
             resumed = True
@@ -234,7 +275,21 @@ def near_dup_pipeline(
     # count IS the job cost. The original id is joined back at the end;
     # a 64-bit collision can only merge two clusters, never corrupt ids
     # (same contract as assign_clusters).
-    base = src.select(F.xxhash64("orig_id").alias("id"), "text")
+    #
+    # The keyed corpus is pinned ONCE (guide §2.4/§1.2): exact_groups,
+    # reps and the final id join-back all read it, where the previous
+    # shape re-evaluated the caller's plan (a full input scan, often with
+    # the caller's own window/shuffle upstream) three times per run.
+    # local_only: in resume mode a parquet write of the whole corpus text
+    # is not worth the reuse — stages inline it exactly as before.
+    keyed = runner.run(
+        "base",
+        lambda: src.select(
+            "orig_id", F.xxhash64("orig_id").alias("id"), "text"
+        ),
+        local_only=True,
+    )
+    base = keyed.select("id", "text")
 
     # --- exact path -------------------------------------------------------
     exact_groups = runner.run(
@@ -271,7 +326,7 @@ def near_dup_pipeline(
             return cache["r"]
 
         cand = runner.run(f"{name}_cands", lambda: _memo()[0])
-        audit = runner.run(f"{name}_skew_audit", lambda: _memo()[1])
+        audit = runner.run(f"{name}_skew_audit", lambda: _memo()[1], lazy=True)
         return cand, audit
 
     # --- MinHash/LSH path -------------------------------------------------
@@ -298,9 +353,12 @@ def near_dup_pipeline(
 
         cand, audit = _staged_candidates("minhash", _mh_cands)
         runner_audits["lsh_skew"] = audit
+        # lazy: the verify joins read only checkpointed frames (cand,
+        # shingles) and feed exactly one consumer — the pair union.
         return runner.run(
             "minhash_pairs",
             lambda: minhash.verify_jaccard(cand, shingles, cfg.jaccard_threshold),
+            lazy=True,
         )
 
     # --- SimHash path -------------------------------------------------------
@@ -316,9 +374,17 @@ def near_dup_pipeline(
             ),
         )
 
+        _sh_cache: dict = {}
+
         def _sh_cands():
+            # memoized: building the candidate DAG runs eager sub-jobs
+            # (bucket-count checkpoint + oversized probe inside
+            # bucket_pairs); the audit stage and the verify stage must
+            # share ONE build, not pay those jobs twice.
+            if "r" in _sh_cache:
+                return _sh_cache["r"]
             if cfg.simhash_mode == "rotations":
-                return simhash.simhash_rotation_candidate_pairs(
+                r = simhash.simhash_rotation_candidate_pairs(
                     fps,
                     tables=cfg.sim_tables,
                     prefix_bits=cfg.sim_prefix_bits,
@@ -326,16 +392,19 @@ def near_dup_pipeline(
                     max_bucket_size=cfg.sim_rotation_max_bucket,
                     salt_oversized=cfg.salt_oversized,
                 )
-            if cfg.simhash_mode != "banding":
+            elif cfg.simhash_mode == "banding":
+                banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
+                r = simhash.simhash_candidate_pairs(
+                    banded,
+                    cfg.max_bucket_size,
+                    neighbor_window=cfg.neighbor_window,
+                    materialize=False,
+                    salt_oversized=cfg.salt_oversized,
+                )
+            else:
                 raise ValueError(f"unknown simhash_mode {cfg.simhash_mode!r}")
-            banded = simhash.simhash_bands(fps, bands=cfg.sim_bands)
-            return simhash.simhash_candidate_pairs(
-                banded,
-                cfg.max_bucket_size,
-                neighbor_window=cfg.neighbor_window,
-                materialize=False,
-                salt_oversized=cfg.salt_oversized,
-            )
+            _sh_cache["r"] = r
+            return r
 
         # the audit derives from the compact bucket-count agg — persist it
         # as its own stage. The raw 16-bit-band collision stream is
@@ -343,10 +412,12 @@ def near_dup_pipeline(
         # JVM Hamming filter in verify fuses over it before anything
         # materializes.
         runner_audits["simhash_skew"] = runner.run(
-            "simhash_skew_audit", lambda: _sh_cands()[1]
+            "simhash_skew_audit", lambda: _sh_cands()[1], lazy=True
         )
         return runner.run(
-            "simhash_pairs", lambda: simhash.verify_hamming(_sh_cands()[0], cfg.max_hamming)
+            "simhash_pairs",
+            lambda: simhash.verify_hamming(_sh_cands()[0], cfg.max_hamming),
+            lazy=True,
         )
 
     # --- substring path -----------------------------------------------------
@@ -368,6 +439,7 @@ def near_dup_pipeline(
                 cand, reps, "id", "text", cfg.min_substring_len,
                 exact_length=cfg.substring_exact_length,
             ),
+            lazy=True,
         )
 
     # The three candidate paths are independent DAGs over `reps`. Default
@@ -415,7 +487,11 @@ def near_dup_pipeline(
             out = out.unionByName(p)
         return out
 
-    pairs = runner.run("pairs", _all_pairs)
+    # lazy: every input of the union is either checkpointed (cands,
+    # shingles, exact_groups) or a cheap derivation of one; the single
+    # consumer is the CC edge canonicalization inside the clusters stage,
+    # which materializes the union exactly once.
+    pairs = runner.run("pairs", _all_pairs, lazy=True)
 
     def _clusters():
         # CC runs over the REP-LEVEL near-dup graph only; exact-dup members
@@ -448,7 +524,7 @@ def near_dup_pipeline(
             "canonical_id",
         )
         return (
-            src.select("orig_id", F.xxhash64("orig_id").alias("id"))
+            keyed.select("orig_id", "id")
             .join(expanded.select("id", "cluster_id"), "id")
             .select(F.col("orig_id").alias("id"), "cluster_id")
         )

@@ -116,12 +116,24 @@ def main() -> None:
             with open(os.path.join(_REPO, "plans", "r06", f"{name}_{args.plans}.txt"), "w") as fh:
                 fh.write(plan)
         samples = []
-        for _ in range(args.repeats):
+        store = spark.sparkContext._jsc.sc().statusStore()
+        jobs0 = tasks0 = None
+        for i in range(args.repeats):
+            j0 = store.jobsList(None).size()
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             samples.append(round(time.monotonic() - t0, 3))
-        out[name] = {"min": min(samples), "samples": samples}
-        print(f"{name:35s} min {min(samples):7.3f}  {samples}")
+            if i == args.repeats - 1:
+                jl = store.jobsList(None)
+                njobs = jl.size() - j0
+                ntasks = sum(
+                    jl.apply(k).numCompletedTasks()
+                    for k in range(njobs)
+                )
+                jobs0, tasks0 = njobs, ntasks
+        out[name] = {"min": min(samples), "samples": samples,
+                     "jobs": jobs0, "tasks": tasks0}
+        print(f"{name:35s} min {min(samples):7.3f}  {samples}  jobs={jobs0} tasks={tasks0}")
         spark.sparkContext.setJobDescription(None)
     print(json.dumps(out))
 
