@@ -32,6 +32,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_min_partitions(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _docs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents at a 4× finer scan width for operators whose per-row
+    work is unusually dense (the CDC chunker's interpreted higher-order
+    array expressions) — measured ~3× faster than the default width on
+    the bench corpus, still size-derived and capped at the core count."""
+    from rust_gd_spark.session import ensure_min_partitions
+
+    return ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        target_bytes=32 << 10,
+    )
+
+
 def _transcripts_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcripts-shaped table (input_hint schema) derived
     from documents: conv = doc_id mod 50, turns ordered by doc_id."""
@@ -240,7 +253,9 @@ def _q_ngram_topk(spark, sf_dir):
     Distinct-per-doc → partial-agg count → TakeOrderedAndProject."""
     from rust_gd_spark.operators.ngrams import top_ngrams
 
-    return top_ngrams(_docs(spark, sf_dir), "doc_id", "text", w=2, k=50)
+    # dense width: the bigram explode + distinct is per-row-dense JVM
+    # work over the scan (measured ~1.8× faster at the finer width)
+    return top_ngrams(_docs_dense(spark, sf_dir), "doc_id", "text", w=2, k=50)
 
 
 def _q_soft_dedup_weights(spark, sf_dir):
@@ -640,7 +655,7 @@ def _q_cdc_chunks(spark, sf_dir):
     from rust_gd_spark.operators.cdc import cdc_chunks
 
     return cdc_chunks(
-        _docs(spark, sf_dir), "doc_id", "text",
+        _docs_dense(spark, sf_dir), "doc_id", "text",
         divisor=CDC_DIVISOR, gram=CDC_GRAM,
     ).select(
         F.col("id").alias("doc_id"),
@@ -657,7 +672,7 @@ def _q_cdc_chunk_store(spark, sf_dir):
     from rust_gd_spark.operators.cdc import cdc_chunk_store, cdc_chunks
 
     c = cdc_chunks(
-        _docs(spark, sf_dir), "doc_id", "text",
+        _docs_dense(spark, sf_dir), "doc_id", "text",
         divisor=CDC_DIVISOR, gram=CDC_GRAM,
     )
     return cdc_chunk_store(c).select(
@@ -678,7 +693,7 @@ def _q_cdc_delta(spark, sf_dir):
     reused — exactly what fixed-offset chunking would destroy."""
     from rust_gd_spark.operators.cdc import cdc_chunks, cdc_delta
 
-    d = _docs(spark, sf_dir)
+    d = _docs_dense(spark, sf_dir)
     old = d.filter(F.col("doc_id") % 11 != 3)
     new = d.filter(F.col("doc_id") % 13 != 5).withColumn(
         "text",
@@ -1646,7 +1661,9 @@ def _q_bbit_estimate_audit(spark, sf_dir):
     packed-kernel path, pytest-pinned against it)."""
     from rust_gd_spark.operators.bbit import bbit_estimate_md5
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    # dense width: 16 md5 slot hashes per shingle are per-row-dense JVM
+    # work over the scan (measured ~1.3× faster at the finer width)
+    d = _docs_dense(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
     return bbit_estimate_md5(d, "doc_id", "text", w=SHINGLE_W, num_perm=16, b=8)
 
 
@@ -2395,7 +2412,7 @@ def _q_cdc_dedup_rewrite(spark, sf_dir):
     from rust_gd_spark.operators.cdc import cdc_chunks, cdc_dedup_rewrite
 
     c = cdc_chunks(
-        _docs(spark, sf_dir), "doc_id", "text",
+        _docs_dense(spark, sf_dir), "doc_id", "text",
         divisor=CDC_DIVISOR, gram=CDC_GRAM,
     )
     return cdc_dedup_rewrite(c).select(
@@ -2477,6 +2494,9 @@ def _q_incremental_clusters(spark, sf_dir):
     The result must equal the batch pipeline's exact+minhash clusters —
     and the DuckDB oracle is the same recursive-CTE transitive closure
     over exact + Jaccard≥0.5 edges used for `transcript_clusters`."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     from rust_gd_spark.pipeline import canonical_clusters, with_turn_uid
@@ -2485,7 +2505,23 @@ def _q_incremental_clusters(spark, sf_dir):
     tr = with_turn_uid(_transcripts_from_docs(spark, sf_dir)).select(
         "uid", "text", (F.xxhash64("uid") % 2 == 0).alias("even")
     )
-    state = tempfile.mkdtemp(prefix="incdedup_")
+    # scratch state on tmpfs when the box has headroom (same rationale as
+    # bench.py's shuffle-dir pick: the sandbox virtio disk writes
+    # ~20 MB/s, and the per-batch store appends otherwise time the disk,
+    # not the operator; a real deployment writes these stores to
+    # Iceberg/HDFS). Falls back to the default tmp dir.
+    state_base = None
+    try:
+        if os.path.isdir("/dev/shm"):
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 2 << 30:
+                state_base = "/dev/shm"
+    except OSError:
+        pass
+    state = tempfile.mkdtemp(prefix="incdedup_", dir=state_base)
+    # the returned clusters frame reads these stores lazily, so the dir
+    # must outlive this call — reclaim (tmpfs) space at interpreter exit
+    atexit.register(shutil.rmtree, state, ignore_errors=True)
     for flag in (True, False):
         process_batch(
             tr.filter(F.col("even") == flag).select("uid", "text"),

@@ -613,6 +613,7 @@ def exact_jaccard_pairs(
     w: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs w-shingle Jaccard >= threshold via inverted index.
 
@@ -621,8 +622,13 @@ def exact_jaccard_pairs(
     present in more than max_df docs (stopword shingles — the classic
     scale guard; None = exact). This is the oracle-verifiable exact
     operator; MinHash/LSH is its approximation.
+
+    ``shingles``: optional precomputed ``(id, shingles)`` table (the
+    ``shingle_df`` shape) — callers that also verify other candidate
+    families against the same corpus pass one shared (checkpointed)
+    table so the shingle kernel runs once, not per consumer.
     """
-    sh = shingle_df(df, id_col, text_col, w=w)
+    sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, w=w)
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     posting = sh.select("id", F.explode("shingles").alias("s"))
     if max_df is not None:

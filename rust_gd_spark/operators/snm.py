@@ -59,7 +59,18 @@ def global_ranks(
     Plan: range exchange + local sort + P-row count collect + one
     mapInPandas pass — no single-task global window at any stage.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # partition count follows the INPUT's parallelism (itself size-derived
+    # at load boundaries — ensure_min_partitions), capped at the core
+    # count: a fixed 2×cores range exchange put a sub-MB corpus through
+    # 64 near-empty range partitions and every downstream stage paid the
+    # task launches (guide §2.2: fewer, larger partitions).
+    parts = num_partitions or max(
+        1,
+        min(
+            df.rdd.getNumPartitions(),
+            df.sparkSession.sparkContext.defaultParallelism,
+        ),
+    )
     sdf = (
         df.repartitionByRange(parts, *key_cols)
         .sortWithinPartitions(*key_cols)
@@ -145,17 +156,22 @@ def snm_near_dup_pairs(
     threshold: float = 0.5,
     key: Column | None = None,
     num_partitions: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """SNM candidates verified with exact shingle Jaccard:
     ``(id_l, id_r, jaccard)`` with ``id_l < id_r`` (id order — rank
-    order is an implementation detail the output doesn't leak)."""
+    order is an implementation detail the output doesn't leak).
+    ``shingles``: optional shared shingle table (see
+    ``exact_jaccard_pairs``)."""
     cand = snm_candidate_pairs(
         df, id_col, text_col, window=window, key=key, num_partitions=num_partitions
     ).select(
         F.least("id_l", "id_r").alias("id_l"),
         F.greatest("id_l", "id_r").alias("id_r"),
     ).dropDuplicates(["id_l", "id_r"])
-    sh = shingle_df(df, id_col, text_col, w=w_shingle)
+    sh = shingles if shingles is not None else shingle_df(
+        df, id_col, text_col, w=w_shingle
+    )
     return verify_jaccard(cand.localCheckpoint(eager=True), sh, threshold=threshold)
 
 
@@ -218,12 +234,19 @@ def snm_recall_audit(
     """
     from rust_gd_spark.operators.minhash import exact_jaccard_pairs
 
+    # ONE shingle pass feeds both sides (exact postings/sizes + SNM
+    # verify) — the kernel is the audit's dominant per-row cost and ran
+    # twice before (guide §1.2).
+    sh = shingle_df(df, id_col, text_col, w=w_shingle).localCheckpoint(
+        eager=True
+    )
     exact = exact_jaccard_pairs(
-        df, id_col, text_col, w=w_shingle, threshold=threshold
+        df, id_col, text_col, w=w_shingle, threshold=threshold, shingles=sh
     ).select("id_l", "id_r", F.lit(1).alias("_e"))
     snm = snm_near_dup_pairs(
         df, id_col, text_col, window=window, w_shingle=w_shingle,
         threshold=threshold, key=key, num_partitions=num_partitions,
+        shingles=sh,
     ).select("id_l", "id_r", F.lit(1).alias("_s"))
     j = exact.join(snm, ["id_l", "id_r"], "full_outer")
     return j.agg(

@@ -59,16 +59,53 @@ def get_spark(
     return spark
 
 
-def ensure_min_partitions(df, min_parts: int | None = None):
+def ensure_min_partitions(
+    df, min_parts: int | None = None, target_bytes: int | None = None
+):
     """Round-robin repartition iff the plan is under-partitioned.
 
     Small local parquet files arrive as ONE split (a single row group is
     unsplittable), serializing every downstream stage; on a real cluster
     the scan has thousands of splits and this is a no-op. Call at load
     boundaries, not per-operator.
+
+    The default target is SIZE-DERIVED, not the fixed 2×cores it used to
+    be (guide §2: make partitioning scale-adaptive — derive from input
+    size — rather than a constant tuned for either local mode or the
+    cluster): one partition per ``GD_SCAN_TARGET_BYTES`` of input file
+    (default 128 KiB of parquet ≈ 1 MB of text), capped at
+    defaultParallelism. Measured on the bench corpus: the old blanket
+    2×cores spread a sub-MB table over 64 partitions and every downstream
+    stage paid 64 task launches for micro-batches — kernel-heavy queries
+    ran 2-2.5× slower than at the size-derived width, while at 10×
+    the data the derived width grows right back to the core count.
+
+    ``target_bytes`` overrides the per-partition target for callers whose
+    per-row work is unusually dense (e.g. the CDC chunker's interpreted
+    higher-order array expressions: measured ~3× faster at a 4× finer
+    width on the same corpus) — the knob stays size-derived, never a
+    fixed partition count.
     """
     if min_parts is None:
-        min_parts = df.sparkSession.sparkContext.defaultParallelism
+        sc = df.sparkSession.sparkContext
+        cap = sc.defaultParallelism
+        target = target_bytes if target_bytes is not None else int(
+            os.environ.get("GD_SCAN_TARGET_BYTES", str(128 << 10))
+        )
+        min_parts = cap
+        try:
+            files = df.inputFiles()
+            if files:
+                nbytes = 0
+                for f in files:
+                    if f.startswith("file:"):
+                        f = f[len("file:"):]
+                        while f.startswith("//"):
+                            f = f[1:]
+                    nbytes += os.path.getsize(f)
+                min_parts = max(1, min(cap, -(-nbytes // target)))
+        except OSError:
+            pass
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df
