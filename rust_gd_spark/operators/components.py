@@ -178,7 +178,12 @@ def connected_components(
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
 
-    cur = _ckpt(_canon(edges), eager=True)
+    sc = edges.sparkSession.sparkContext
+    sc.setJobDescription("cc:canon")
+    try:
+        cur = _ckpt(_canon(edges), eager=True)
+    finally:
+        sc.setJobDescription(None)
     if small_graph_rows > 0:
         # probe the CHECKPOINT, not the plan: under budget the collect is
         # the whole (small) edge set; over budget it is a cheap limit-scan
@@ -200,7 +205,11 @@ def connected_components(
         # signature in ONE job — one driver barrier per super-round.
         # Lineage still truncates to O(1) at the checkpoint.
         cur = _ckpt(cur, eager=False)
-        sig = _signature(cur)
+        sc.setJobDescription(f"cc:round{it}")
+        try:
+            sig = _signature(cur)
+        finally:
+            sc.setJobDescription(None)
         if sig == prev_sig:
             break
         prev_sig = sig

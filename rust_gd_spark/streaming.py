@@ -86,6 +86,16 @@ def _store_path(state_dir: str, name: str) -> str:
     return os.path.join(state_dir, name)
 
 
+def _empty_1part(spark, schema: str):
+    """Zero-row frame on ONE partition slice (parallelize([], 1))."""
+    from pyspark.sql import types as T
+
+    struct = T._parse_datatype_string(schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), struct
+    )
+
+
 def _read_store(spark, state_dir: str, name: str, schema: str) -> DataFrame:
     """Read a state store; an ABSENT store is empty, a BROKEN store raises.
 
@@ -94,16 +104,21 @@ def _read_store(spark, state_dir: str, name: str, schema: str) -> DataFrame:
     (missed-duplicate) output; only the path-not-found case may mean
     "no state yet".
     """
+    # empty stores COALESCE to one partition: createDataFrame([], schema)
+    # spreads zero rows over defaultParallelism empty slices, and every
+    # union/join against the store then pays a cores-wide stage of no-op
+    # task launches (measured: five ~64-task, ~0.4 s pure-overhead jobs in
+    # the first micro-batch of a fresh state dir).
     path = _store_path(state_dir, name)
     if not os.path.exists(path):
-        return spark.createDataFrame([], schema)
+        return _empty_1part(spark, schema)
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
         # partitionBy-rewritten stores read fine; an empty dir left by a
         # crashed first write is the one benign AnalysisException
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
-            return spark.createDataFrame([], schema)
+            return _empty_1part(spark, schema)
         raise
 
 
@@ -143,6 +158,20 @@ def process_batch(
     spark = batch_df.sparkSession
     os.makedirs(state_dir, exist_ok=True)
     epoch = _next_epoch(state_dir)
+    spark.sparkContext.setJobDescription(f"stream:epoch{epoch}")
+    try:
+        return _process_batch_inner(
+            spark, batch_df, state_dir, epoch, w, num_perm, bands, rows,
+            threshold, max_bucket_size, seed, collect_stats,
+        )
+    finally:
+        spark.sparkContext.setJobDescription(None)
+
+
+def _process_batch_inner(
+    spark, batch_df, state_dir, epoch, w, num_perm, bands, rows,
+    threshold, max_bucket_size, seed, collect_stats,
+) -> dict:
     batch = batch_df.select("uid", "text").localCheckpoint(eager=True)
 
     # --- exact path vs history ------------------------------------------
