@@ -1130,7 +1130,7 @@ def _q_cluster_quality_audit(spark, sf_dir):
         F.col("id").alias("uid"), "cluster_id"
     )
     return cluster_quality_audit(
-        clusters, tr.select("uid", "text"),
+        clusters, res.source.withColumnRenamed("id", "uid"),
         id_col="uid", cluster_col="cluster_id", text_col="text",
         w=SHINGLE_W, weak_threshold=JACCARD_T,
     )
@@ -2328,10 +2328,13 @@ def _q_cluster_representatives(spark, sf_dir):
             jaccard_threshold=0.5, min_substring_len=120,
             enable_simhash=False, neighbor_window=None,
         ),
-        collect_stats=False,  # only res.clusters is consumed
+        collect_stats=False,  # clusters + the pinned source are consumed
     )
+    # res.source: the pipeline's pinned (id, text) — joining texts against
+    # it skips re-deriving the transcripts (scan + window) a second time
     return cluster_representatives(
-        canonical_clusters(res.clusters), tr, "uid", "text"
+        canonical_clusters(res.clusters),
+        res.source.withColumnRenamed("id", "uid"), "uid", "text",
     )
 
 
@@ -2580,10 +2583,11 @@ def _q_cluster_deltas(spark, sf_dir):
             jaccard_threshold=0.5, min_substring_len=120,
             enable_simhash=False, neighbor_window=None,
         ),
-        collect_stats=False,  # only res.clusters is consumed
+        collect_stats=False,  # clusters + the pinned source are consumed
     )
     return cluster_delta_encode(
-        canonical_clusters(res.clusters), tr, "uid", "text"
+        canonical_clusters(res.clusters),
+        res.source.withColumnRenamed("id", "uid"), "uid", "text",
     )
 
 

@@ -113,6 +113,12 @@ class PipelineResult:
     metrics: DataFrame               # (run_id, stage, rows, wall_ms)
     lineage: DataFrame               # (run_id, stage, partition_id, rows)
     audits: dict = field(default_factory=dict)
+    # (id, text) in the caller's id space, backed by the pipeline's pinned
+    # ``base`` stage — survivorship/encoding consumers join texts against
+    # THIS instead of re-evaluating the caller's input plan (often a full
+    # scan + the caller's own upstream shuffles). None for results loaded
+    # from disk (read_outputs).
+    source: DataFrame | None = None
 
 
 class _StageRunner:
@@ -537,6 +543,7 @@ def near_dup_pipeline(
         metrics=runner.metrics_df(),
         lineage=runner.lineage_df(),
         audits=runner_audits,
+        source=keyed.select(F.col("orig_id").alias("id"), "text"),
     )
 
 

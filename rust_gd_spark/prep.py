@@ -109,8 +109,10 @@ def training_data_prep(
         cfg or DedupConfig(),
         collect_stats=collect_stats,
     )
+    # res.source is the pipeline's pinned copy of `clean` — joining texts
+    # against it skips re-running the quality/decontam gates a second time
     reps = cluster_representatives(
-        canonical_clusters(res.clusters), clean, "id", "text"
+        canonical_clusters(res.clusters), res.source, "id", "text"
     )
     return reps.join(
         passed.select(F.col("id").alias("rep_id"), F.col("quality").alias("rep_quality")),
