@@ -106,6 +106,13 @@ def bbit_sketch_bands(
         raise ValueError(f"b must be one of {_SUPPORTED_B}, got {b}")
     if bands * rows != num_perm:
         raise ValueError("bands * rows must equal num_perm")
+    if (num_perm * b) % 8 != 0:
+        # sub-byte b packs 8/b slots per byte; a num_perm that doesn't
+        # fill whole bytes would otherwise die in numpy with an opaque
+        # broadcast error inside _pack_bbit
+        raise ValueError(
+            f"num_perm * b must be a multiple of 8, got {num_perm}*{b}"
+        )
     rng = np.random.default_rng(seed)
     pa_ = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
     pb_ = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.uint64)

@@ -78,9 +78,11 @@ def source_length_outliers(
     ranks = totals.select(
         "source",
         "n_docs",
-        # ceil(n/4) and ceil(3n/4) in pure integer arithmetic
-        ((F.col("n_docs") + 3) / 4).cast("long").alias("r1"),
-        ((F.col("n_docs") * 3 + 3) / 4).cast("long").alias("r3"),
+        # ceil(n/4) and ceil(3n/4) in pure integer arithmetic (`div`, not
+        # double division + cast: bit-identical to the DuckDB twin's `//`
+        # at every magnitude, incl. beyond 2^53)
+        F.expr("(n_docs + 3) div 4").alias("r1"),
+        F.expr("(n_docs * 3 + 3) div 4").alias("r3"),
     )
     j = cum.join(ranks, "source")
     q = j.groupBy("source").agg(
