@@ -317,6 +317,11 @@ def cdc_dedup_rewrite(chunks: DataFrame) -> DataFrame:
     ``groupBy(id)``; the per-doc sort/extract runs on ~chunks-per-doc
     elements (interpreted HOFs are fine off the per-token path).
     """
+    # pin the chunk table: it feeds BOTH the store aggregation and the
+    # occurrence join, and the upstream chunker (interpreted higher-order
+    # array expressions — the operator's dominant per-row cost) would
+    # otherwise run twice (guide §1.2)
+    chunks = chunks.localCheckpoint(eager=True)
     store = cdc_chunk_store(chunks).select(
         "chunk_hash", "first_id", "first_chunk_idx"
     )
