@@ -258,7 +258,11 @@ def _process_batch_inner(
     edges = verified.select(
         "id_l", "id_r", F.lit("minhash").alias("path"),
         F.col("jaccard").alias("score"),
-    ).localCheckpoint(eager=True)
+    )
+    if collect_stats:
+        # two consumers (counter + write) — pin once; without stats the
+        # write is the only evaluation, so the barrier is pure overhead
+        edges = edges.localCheckpoint(eager=True)
 
     # --- persist ---------------------------------------------------------
     if collect_stats:
