@@ -122,6 +122,17 @@ def _read_store(spark, state_dir: str, name: str, schema: str) -> DataFrame:
         raise
 
 
+def _read_store_opt(spark, state_dir: str, name: str, schema: str) -> DataFrame | None:
+    """``_read_store`` that reports an ABSENT store as ``None`` so callers
+    can skip the union/join against it outright (identical semantics —
+    joining or unioning an empty frame is a no-op — but the skipped plan
+    nodes cost real AQE stage jobs per micro-batch, the dominant cost of
+    a small batch). A present-but-empty store still returns a frame."""
+    if not os.path.exists(_store_path(state_dir, name)):
+        return None
+    return _read_store(spark, state_dir, name, schema)
+
+
 def _next_epoch(state_dir: str) -> int:
     """Micro-batch counter, persisted as a tiny json file. foreachBatch
     invocations are driver-serialized, so a plain file is race-free."""
@@ -178,20 +189,29 @@ def _process_batch_inner(
     keyed = batch.select(
         "uid", F.md5(F.coalesce("text", F.lit(""))).alias("content_key")
     )
-    store_keys = _read_store(
+    store_keys = _read_store_opt(
         spark, state_dir, "content_keys", _STORE_SCHEMAS["content_keys"]
     )
     batch_min = keyed.groupBy("content_key").agg(F.min("uid").alias("batch_min"))
-    merged = batch_min.join(
-        store_keys.select("content_key", "canonical_id"), "content_key", "left"
-    )
-    new_keys = merged.filter(F.col("canonical_id").isNull()).select(
-        "content_key", F.col("batch_min").alias("canonical_id")
-    ).localCheckpoint(eager=True)
-    canon = merged.select(
-        "content_key",
-        F.coalesce("canonical_id", "batch_min").alias("canonical_id"),
-    )
+    if store_keys is None:
+        # first batch of a fresh state dir: no history ⇒ every batch-min
+        # key is new and canonical (the merge join below would left-join
+        # an empty frame and coalesce to batch_min anyway)
+        new_keys = batch_min.select(
+            "content_key", F.col("batch_min").alias("canonical_id")
+        ).localCheckpoint(eager=True)
+        canon = new_keys
+    else:
+        merged = batch_min.join(
+            store_keys.select("content_key", "canonical_id"), "content_key", "left"
+        )
+        new_keys = merged.filter(F.col("canonical_id").isNull()).select(
+            "content_key", F.col("batch_min").alias("canonical_id")
+        ).localCheckpoint(eager=True)
+        canon = merged.select(
+            "content_key",
+            F.coalesce("canonical_id", "batch_min").alias("canonical_id"),
+        )
     assignments = keyed.join(canon, "content_key").select(
         "uid", "canonical_id", F.lit("exact").alias("path")
     )
@@ -217,13 +237,14 @@ def _process_batch_inner(
     # EXCLUDING band keys whose total posting count (history + batch)
     # exceeds the cap — the join would otherwise emit |new|x|hist| rows per
     # hot key, growing with every micro-batch. Excluded keys are audited.
-    band_store = _read_store(spark, state_dir, "bands", _STORE_SCHEMAS["bands"])
+    band_store = _read_store_opt(spark, state_dir, "bands", _STORE_SCHEMAS["bands"])
     key_counts = (
-        band_store.select("band_idx", "band_hash")
-        .unionByName(banded.select("band_idx", "band_hash"))
-        .groupBy("band_idx", "band_hash")
-        .agg(F.count("*").alias("bucket_size"))
-    )
+        banded.select("band_idx", "band_hash")
+        if band_store is None
+        else band_store.select("band_idx", "band_hash").unionByName(
+            banded.select("band_idx", "band_hash")
+        )
+    ).groupBy("band_idx", "band_hash").agg(F.count("*").alias("bucket_size"))
     hot_keys = key_counts.filter(
         F.col("bucket_size") > max_bucket_size
     ).localCheckpoint(eager=True)
@@ -231,29 +252,32 @@ def _process_batch_inner(
         "band_idx", "band_hash", "bucket_size",
         F.lit("dropped").alias("action"), F.lit(epoch).alias("epoch"),
     )
-    hist_pairs = (
-        banded.join(hot_keys.select("band_idx", "band_hash"),
-                    ["band_idx", "band_hash"], "left_anti")
-        .join(
-            band_store.select("band_idx", "band_hash", F.col("id").alias("hist_id")),
-            ["band_idx", "band_hash"],
+    if band_store is None:
+        cand = new_pairs.select("id_l", "id_r")
+    else:
+        hist_pairs = (
+            banded.join(hot_keys.select("band_idx", "band_hash"),
+                        ["band_idx", "band_hash"], "left_anti")
+            .join(
+                band_store.select("band_idx", "band_hash", F.col("id").alias("hist_id")),
+                ["band_idx", "band_hash"],
+            )
+            .select(
+                F.least("id", "hist_id").alias("id_l"),
+                F.greatest("id", "hist_id").alias("id_r"),
+            )
+            .filter(F.col("id_l") != F.col("id_r"))
+            .dropDuplicates(["id_l", "id_r"])
         )
-        .select(
-            F.least("id", "hist_id").alias("id_l"),
-            F.greatest("id", "hist_id").alias("id_r"),
-        )
-        .filter(F.col("id_l") != F.col("id_r"))
-        .dropDuplicates(["id_l", "id_r"])
-    )
-    cand = new_pairs.select("id_l", "id_r").unionByName(hist_pairs)
+        cand = new_pairs.select("id_l", "id_r").unionByName(hist_pairs)
 
     # verify against batch + historical shingles
-    shingle_store = _read_store(
+    shingle_store = _read_store_opt(
         spark, state_dir, "shingles", _STORE_SCHEMAS["shingles"]
     )
-    all_sh = sh.select(F.col("id"), "shingles").unionByName(
-        shingle_store.select("id", "shingles")
-    )
+    all_sh = sh.select(F.col("id"), "shingles")
+    if shingle_store is not None:
+        all_sh = all_sh.unionByName(shingle_store.select("id", "shingles"))
     verified = minhash.verify_jaccard(cand, all_sh, threshold=threshold)
     edges = verified.select(
         "id_l", "id_r", F.lit("minhash").alias("path"),
