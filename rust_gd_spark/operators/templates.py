@@ -258,12 +258,16 @@ def remove_template_turns(
     w = Window.partitionBy(conv_col).orderBy(order_col)
     th = F.md5(_turn_key(text_col, role_col))
     hs = [th] + [F.lead(th, i).over(w) for i in range(1, k)]
+    # Three consumers read `pos` (template agg, coverage join, anti-join);
+    # unpinned, each re-ran the caller's upstream plan plus the window —
+    # the pipeline's `base`-stage rule: pin a multiply-consumed corpus
+    # projection once instead of recomputing it per consumer.
     pos = df.select(
         F.col(conv_col).alias("conv"),
         F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
         (F.row_number().over(w) - 1).alias("p"),
         F.md5(F.concat(*hs)).alias("template_hash"),
-    )
+    ).localCheckpoint(eager=True)
     templates = (
         pos.filter(F.col("template_hash").isNotNull())
         .groupBy("template_hash")
