@@ -97,7 +97,25 @@ def conversation_dup_pairs(
         raise ValueError(f"unknown measure {measure!r}")
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = conversation_turn_sets(transcripts, conv_col, text_col)
+    sets = conversation_turn_sets(transcripts, conv_col, text_col).localCheckpoint(
+        eager=True
+    )
+    return _dup_pairs_from_sets(sets, threshold, measure, df_cap, with_audit)
+
+
+def _dup_pairs_from_sets(
+    sets: DataFrame,
+    threshold: float,
+    measure: str,
+    df_cap: int | None,
+    with_audit: bool,
+):
+    """Pair scoring over a prebuilt — and already PINNED — ``(conv, h)``
+    turn-set table: the size agg, both inverted-index join sides and
+    (with ``df_cap``) the document-frequency agg otherwise each re-ran
+    the caller's upstream plan through the distinct (the pipeline's
+    base-stage rule applied to the turn-set table). Callers pin so the
+    cluster path can share the same copy for its id universe."""
     sizes = sets.groupBy("conv").agg(F.count("*").alias("n"))
     capped = 0
     if df_cap is not None:
@@ -157,10 +175,20 @@ def conversation_dup_clusters(
     components over the qualifying pair graph (cluster survivorship =
     keep one re-log per cluster). Singletons keep their own hash id —
     the same contract as ``assign_clusters``."""
-    pairs = conversation_dup_pairs(
-        transcripts, conv_col, text_col, threshold, measure, df_cap
-    ).select(F.col("conv_l").alias("id_l"), F.col("conv_r").alias("id_r"))
-    ids = transcripts.select(F.col(conv_col).alias("conv")).distinct()
+    # One turn-set build feeds pairing AND the id universe: every
+    # transcript row yields a (conv, h) row (md5 of normalized text is
+    # never NULL), so the conv set of `sets` equals the input's — the
+    # separate transcripts.distinct() re-scan was a second evaluation of
+    # the caller's plan. `_dup_pairs_from_sets` pins sets; ids read the
+    # pinned copy (pre-df_cap, so a fully-capped conversation still
+    # keeps its cluster row).
+    sets = conversation_turn_sets(transcripts, conv_col, text_col).localCheckpoint(
+        eager=True
+    )
+    pairs = _dup_pairs_from_sets(sets, threshold, measure, df_cap, False).select(
+        F.col("conv_l").alias("id_l"), F.col("conv_r").alias("id_r")
+    )
+    ids = sets.select("conv").distinct()
     return assign_clusters(
         ids, pairs, "conv", small_graph_rows=small_graph_rows
     ).select(F.col("id").alias("conv"), "cluster_id")
