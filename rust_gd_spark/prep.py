@@ -114,8 +114,14 @@ def training_data_prep(
     reps = cluster_representatives(
         canonical_clusters(res.clusters), res.source, "id", "text"
     )
+    # rep_quality from the pinned source too: the score is a pure function
+    # of the text (identical rounded value), and joining `passed` here
+    # would re-scan the raw corpus through the quality gate per run
     return reps.join(
-        passed.select(F.col("id").alias("rep_id"), F.col("quality").alias("rep_quality")),
+        res.source.select(
+            F.col("id").alias("rep_id"),
+            F.round(ts.quality_score(F.col("text")), 6).alias("rep_quality"),
+        ),
         "rep_id",
     ).select(
         "cluster_id", "rep_id", "cluster_size",
