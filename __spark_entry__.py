@@ -32,16 +32,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_min_partitions(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _docs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_dense(
+    spark: SparkSession, sf_dir: str, cap_factor: int = 1
+) -> DataFrame:
     """Documents at a 4× finer scan width for operators whose per-row
     work is unusually dense (the CDC chunker's interpreted higher-order
     array expressions) — measured ~3× faster than the default width on
-    the bench corpus, still size-derived and capped at the core count."""
+    the bench corpus, still size-derived and capped at the core count.
+
+    ``cap_factor`` oversubscribes that cap (with a matching finer byte
+    target) for SCAN-TERMINAL dense queries only — per-row compute
+    dominates and doc-length skew stalls the tail at one slice per core
+    (ABAB: the chunker alone runs 0.81× at 2-3 slices/core), but any
+    downstream shuffle pays the extra map tasks back (ngram_topk 1.37×
+    at the wide width), so consumers with aggregations stay at cap 1."""
     from rust_gd_spark.session import ensure_min_partitions
 
     return ensure_min_partitions(
         spark.read.parquet(f"{sf_dir}/documents.parquet"),
-        target_bytes=32 << 10,
+        target_bytes=(32 << 10) // max(1, cap_factor),
+        cap_factor=cap_factor,
     )
 
 
@@ -654,8 +664,9 @@ def _q_cdc_chunks(spark, sf_dir):
     shuffles: all Catalyst array expressions over the scan."""
     from rust_gd_spark.operators.cdc import cdc_chunks
 
+    # scan-terminal (no downstream shuffle): oversubscribe the dense cap
     return cdc_chunks(
-        _docs_dense(spark, sf_dir), "doc_id", "text",
+        _docs_dense(spark, sf_dir, cap_factor=4), "doc_id", "text",
         divisor=CDC_DIVISOR, gram=CDC_GRAM,
     ).select(
         F.col("id").alias("doc_id"),

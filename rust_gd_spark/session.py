@@ -75,7 +75,10 @@ def get_spark(
 
 
 def ensure_min_partitions(
-    df, min_parts: int | None = None, target_bytes: int | None = None
+    df,
+    min_parts: int | None = None,
+    target_bytes: int | None = None,
+    cap_factor: int = 1,
 ):
     """Round-robin repartition iff the plan is under-partitioned.
 
@@ -100,10 +103,18 @@ def ensure_min_partitions(
     higher-order array expressions: measured ~3× faster at a 4× finer
     width on the same corpus) — the knob stays size-derived, never a
     fixed partition count.
+
+    ``cap_factor`` lets those same dense callers oversubscribe the core
+    cap (cap = cap_factor × defaultParallelism). Per-row compute that
+    dominates the stage suffers doc-length skew at exactly one slice per
+    core — 2-4 slices/core lets the scheduler smooth stragglers (guide
+    §2.4). Still size-derived: a corpus below cap_factor × cap ×
+    target_bytes of parquet never reaches the cap, and on a real cluster
+    the scan has real splits and this path is a no-op.
     """
     if min_parts is None:
         sc = df.sparkSession.sparkContext
-        cap = sc.defaultParallelism
+        cap = sc.defaultParallelism * max(1, cap_factor)
         target = target_bytes if target_bytes is not None else int(
             os.environ.get("GD_SCAN_TARGET_BYTES", str(128 << 10))
         )

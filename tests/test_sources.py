@@ -65,3 +65,30 @@ def test_hamming_kind_roundtrip(spark, tmp_path):
     blocks = sources.read_binary_blocks(spark, str(tmp_path))
     rt = sources.gd_file_roundtrip(blocks, "hamming", 511, deg=8).collect()
     assert len(rt) == 1 and rt[0].roundtrip_ok
+
+
+def test_ensure_min_partitions_cap_factor(spark, tmp_path):
+    """Size-derived scan width: cap_factor oversubscribes the core cap for
+    dense scan-terminal callers, and the width stays input-size-derived."""
+    from rust_gd_spark.session import ensure_min_partitions
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(2000).selectExpr("id", "repeat('x', 200) as text").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    cap = spark.sparkContext.defaultParallelism
+
+    base = ensure_min_partitions(spark.read.parquet(p), target_bytes=1)
+    assert base.rdd.getNumPartitions() == cap  # byte-derived, capped at cores
+
+    wide = ensure_min_partitions(
+        spark.read.parquet(p), target_bytes=1, cap_factor=4
+    )
+    assert wide.rdd.getNumPartitions() == 4 * cap  # oversubscribed cap
+
+    # a tiny input never reaches the cap no matter the factor
+    narrow = ensure_min_partitions(
+        spark.read.parquet(p), target_bytes=1 << 30, cap_factor=4
+    )
+    assert narrow.rdd.getNumPartitions() <= df.rdd.getNumPartitions() + 1
