@@ -60,6 +60,24 @@ def deserialize_turns(buf: bytes) -> tuple[list[int], list[str]]:
     return idxs, texts
 
 
+def _conv_spread(df: DataFrame) -> DataFrame:
+    """Explicit conv-hash width at the core count for the round-trip kernel.
+
+    The per-conversation GF(2^8) kernel is CPU-dense; AQE's byte-based
+    coalescing sizes the conv shuffle for bytes per task (8 tasks on 32
+    cores measured — a 0.6 s straggler job). The explicit repartition
+    satisfies the downstream groupBy clustering (no second exchange) and
+    is scale-free: defaultParallelism is the cluster's core count, which
+    is what a compute-bound stage wants. Applied ONLY to the kernel whose
+    output feeds no further shuffle (gd_conversation_roundtrip returns one
+    row per conv): gd_decompose's consumers join/aggregate its chunks, and
+    the extra map tasks measurably cost more than the kernel spread saves
+    (ABAB 1.29x worse) — those stay at AQE's width.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, "conv_id")
+
+
 _RS_CACHE: dict = {}
 
 
@@ -142,7 +160,7 @@ def gd_conversation_roundtrip(
         )
 
     return (
-        transcripts.select("conv_id", "turn_idx", "text")
+        _conv_spread(transcripts.select("conv_id", "turn_idx", "text"))
         .groupBy("conv_id")
         .applyInPandas(run, schema=ROUNDTRIP_SCHEMA)
     )

@@ -170,8 +170,17 @@ def conversation_repetition(
             }
         )
 
+    # Explicit conv-hash width at the core count: the suffix-array kernel
+    # is per-row CPU-dense, and AQE's byte-based coalescing sizes the conv
+    # shuffle for ~64 MB of *bytes* per task (8 tasks here — a 1.7 s
+    # straggler job on 32 idle cores). The explicit repartition satisfies
+    # the groupBy clustering (no second exchange, plan-checked) and is
+    # scale-free: on a cluster defaultParallelism is the total core count,
+    # which is exactly what a compute-bound stage wants.
+    n_parts = transcripts.sparkSession.sparkContext.defaultParallelism
     return (
         transcripts.select(conv_col, order_col, text_col)
+        .repartition(n_parts, conv_col)
         .groupBy(conv_col)
         .applyInPandas(profile, schema=out_schema)
     )

@@ -300,3 +300,25 @@ def test_url_dedup_plan_is_codegen_agg_join(spark, tmp_path):
     assert "NestedLoop" not in plan
     assert "partial_min" in plan  # map-side combine on the group agg
     assert "*(1)" in plan  # canonicalization runs inside codegen stage 1
+
+
+def test_dense_group_kernels_single_exchange(spark):
+    """The CPU-dense per-conversation kernels (suffix-array repetition,
+    GD round-trip) hash-repartition to the core count so AQE's byte-based
+    coalescing cannot serialize them — and that explicit repartition must
+    SATISFY the groupBy clustering, i.e. exactly one Exchange reaches the
+    Arrow kernel, never a second one for the groupBy."""
+    from rust_gd_spark.gd.spark import gd_conversation_roundtrip
+    from rust_gd_spark.operators.suffixarray import conversation_repetition
+
+    tr = spark.sql(
+        "select concat('c', id % 5) as conv_id, cast(id div 5 as int) as"
+        " turn_idx, concat('turn text ', id) as text from range(50)"
+    )
+    for df in (
+        conversation_repetition(tr, k=8),
+        gd_conversation_roundtrip(tr, kind="rs", dict_size=255, n=128, k=124),
+    ):
+        plan = _plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "FlatMapGroupsInPandas" in plan
