@@ -689,9 +689,18 @@ def jaccard_topk_neighbors(
     ``row_number`` per id — Spark plans the per-id top-k as
     WindowGroupLimit (rank pushdown), so no per-id full sort survives.
     """
+    # Pin the pair table before symmetrizing: both union branches read it.
+    # AQE exchange reuse already covers the expensive posting self-join,
+    # but the post-exchange derivation (size joins + jaccard filter) still
+    # ran once per branch — the pin trims those tail stages (downstream
+    # job task counts 8/9/10 -> 2/3/4 in the job audit, ~7% interleaved).
+    # It holds only (id_l, id_r, jaccard) rows, which the threshold bounds
+    # at corpus scale.
     pairs = exact_jaccard_pairs(
         df, id_col, text_col, w=w, threshold=threshold, max_df=max_df
-    ).select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+    ).select(
+        "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
+    ).localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("id_l").alias("id"), F.col("id_r").alias("neighbor_id"), "jaccard"
     ).unionByName(
