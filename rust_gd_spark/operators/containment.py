@@ -53,7 +53,12 @@ def exact_containment_pairs(
     oracle contract)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingle_df(df, id_col, text_col, w=w)
+    # Pin the shingle table: sizes and the posting explode both read it,
+    # and the shingle kernel is a pandas-UDF subtree — never an
+    # exchange-reuse candidate — so unpinned it ran once per consumer
+    # (0.79x interleaved with the pin). Calibration-tier exact operator:
+    # the pinned table is bounded by the slice it is pointed at.
+    sh = shingle_df(df, id_col, text_col, w=w).localCheckpoint(eager=True)
     sizes = sh.select("id", F.size(F.array_distinct("shingles")).alias("n_sh"))
     posting = sh.select("id", F.explode("shingles").alias("s")).dropDuplicates(
         ["id", "s"]

@@ -628,7 +628,19 @@ def exact_jaccard_pairs(
     families against the same corpus pass one shared (checkpointed)
     table so the shingle kernel runs once, not per consumer.
     """
-    sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, w=w)
+    # Pin the shingle table when this operator builds it: sizes and the
+    # posting explode BOTH read it, and the shingle kernel is a pandas-UDF
+    # subtree — never an exchange-reuse candidate — so unpinned it ran
+    # once per consumer (interleaved: jaccard_topk_neighbors 0.54x,
+    # dup_threshold_sensitivity 0.63x with the pin). Callers that pass a
+    # shared ``shingles`` table have already pinned it themselves. This is
+    # the calibration-tier exact operator, so the pinned table is bounded
+    # by the corpus slice it is pointed at, not the full 100 TB corpus.
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_df(df, id_col, text_col, w=w).localCheckpoint(eager=True)
+    )
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     posting = sh.select("id", F.explode("shingles").alias("s"))
     if max_df is not None:
