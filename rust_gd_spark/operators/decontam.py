@@ -301,7 +301,10 @@ def ngram_contamination_attribution(
     so the per-(id, benchmark) aggregation's input is bounded by hits,
     not corpus size. Two shuffles total (hit agg + per-doc-size join).
     """
-    sh = ngram_set(df, id_col, text_col, n=n)
+    # Pin the n-gram table: sizes and the posting explode both read it,
+    # and the kernel subtree otherwise runs once per consumer (0.88x
+    # interleaved with the pin). One array row per doc is held.
+    sh = ngram_set(df, id_col, text_col, n=n).localCheckpoint(eager=True)
     sizes = sh.select("id", F.size("shingles").alias("n_grams"))
     posting = sh.select("id", F.explode("shingles").alias("s"))
 
@@ -376,7 +379,12 @@ def ngram_novelty(
     partial agg. The df table never joins a corpus-sized side twice:
     the posting carries its own df back via one equi-join on the hash.
     """
-    sh = ngram_set(df, id_col, text_col, n=n)
+    # Pin the n-gram table: the posting explode feeds BOTH the gram-df
+    # aggregation and the join's left side, and the n-gram kernel is a
+    # pandas-UDF subtree exchange reuse never covers — unpinned it ran
+    # twice (interleaved 0.80x with the pin, variance halved). The pin
+    # holds one array row per doc, never the exploded posting.
+    sh = ngram_set(df, id_col, text_col, n=n).localCheckpoint(eager=True)
     posting = sh.select("id", F.explode("shingles").alias("s"))
     gram_df = posting.groupBy("s").agg(F.count("*").alias("df"))
     return (
