@@ -119,7 +119,11 @@ def bag_jaccard_pairs(
     more than max_df documents before pairing (stopword-shingle guard;
     None = exact). Output ``(id_l, id_r, bag_jaccard)`` rounded to 6dp.
     """
-    sh = shingle_count_df(df, id_col, text_col, w=w)
+    # Pin the counted-shingle table: totals and the posting explode both
+    # read it, and the multiset kernel is a pandas-UDF subtree exchange
+    # reuse never covers — unpinned it ran twice (0.70x interleaved with
+    # the pin). Calibration-tier exact operator; one array row per doc.
+    sh = shingle_count_df(df, id_col, text_col, w=w).localCheckpoint(eager=True)
     totals = sh.select("id", F.col("total").alias("t"))
     posting = sh.select(
         "id", F.explode(F.arrays_zip("shingles", "cnts")).alias("p")

@@ -349,7 +349,14 @@ def substring_near_dup_pairs(
     if w is None:
         w = min_len - k + 1
     assert k + w - 1 <= min_len
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # Pin the winnow fingerprint table: bucket_pairs scans its input
+    # twice (count agg + prune join) and the winnow kernel is a pandas-UDF
+    # subtree exchange reuse never covers — unpinned it ran per scan
+    # (0.75x interleaved with the pin). Same rule the pipeline applies to
+    # its band-hash table; ~1 fingerprint row per w bytes of text held.
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
+        eager=True
+    )
     pairs, _ = substring_candidate_pairs(fps, max_posting_size=max_posting_size)
     # materialize the (small) candidate table before the verify joins
     pairs = pairs.localCheckpoint(eager=True)
