@@ -178,12 +178,11 @@ def connected_components(
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
 
+    from ..session import job_description
+
     sc = edges.sparkSession.sparkContext
-    sc.setJobDescription("cc:canon")
-    try:
+    with job_description(sc, "cc:canon"):
         cur = _ckpt(_canon(edges), eager=True)
-    finally:
-        sc.setJobDescription(None)
     if small_graph_rows > 0:
         # probe the CHECKPOINT, not the plan: under budget the collect is
         # the whole (small) edge set; over budget it is a cheap limit-scan
@@ -205,11 +204,8 @@ def connected_components(
         # signature in ONE job — one driver barrier per super-round.
         # Lineage still truncates to O(1) at the checkpoint.
         cur = _ckpt(cur, eager=False)
-        sc.setJobDescription(f"cc:round{it}")
-        try:
+        with job_description(sc, f"cc:round{it}"):
             sig = _signature(cur)
-        finally:
-            sc.setJobDescription(None)
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -93,10 +93,6 @@ def conversation_dup_pairs(
     conversations before pairing (see module docstring). None = exact.
     ``with_audit=True`` returns ``(pairs_df, ConvDedupAudit)``.
     """
-    if measure not in ("jaccard", "containment"):
-        raise ValueError(f"unknown measure {measure!r}")
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = conversation_turn_sets(transcripts, conv_col, text_col).localCheckpoint(
         eager=True
     )
@@ -115,7 +111,15 @@ def _dup_pairs_from_sets(
     (with ``df_cap``) the document-frequency agg otherwise each re-ran
     the caller's upstream plan through the distinct (the pipeline's
     base-stage rule applied to the turn-set table). Callers pin so the
-    cluster path can share the same copy for its id universe."""
+    cluster path can share the same copy for its id universe.
+
+    Validation lives HERE (not only in the public wrapper) so every
+    entry point — including the cluster path that hands its own pinned
+    sets — keeps the clean ValueError contract."""
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sizes = sets.groupBy("conv").agg(F.count("*").alias("n"))
     capped = 0
     if df_cap is not None:

@@ -70,9 +70,20 @@ def incremental_near_dups(
     # persisted table, that plan — typically the corpus sketch kernel —
     # ran three times (kernel subtrees are not exchange-reuse
     # candidates). The pin holds only the 160 B/doc sketches, never the
-    # corpus. Measured 1.7x on the bench fixture; a parquet-backed index
-    # pays one cheap re-scan's worth of copy.
-    corpus_index = corpus_index.localCheckpoint(eager=True)
+    # corpus, and measured 1.7x on the bench fixture — but it is SKIPPED
+    # when the index plan carries no Python kernel (i.e. it IS the
+    # persisted sketch table, re-read per consumer for the price of a
+    # column scan): the module's contract is a persisted corpus index at
+    # 10^12-doc scale, and eagerly copying ~160 B/doc of parquet into
+    # executor storage per increment call is the kind of unbounded
+    # duplication three cheap re-scans never justify.
+    try:
+        _plan = corpus_index._jdf.queryExecution().simpleString()
+        _has_kernel = "EvalPython" in _plan or "InPandas" in _plan
+    except Exception:
+        _has_kernel = True
+    if _has_kernel:
+        corpus_index = corpus_index.localCheckpoint(eager=True)
     cpost = corpus_index.select(
         F.col("id").alias("corpus_id"),
         F.posexplode("bands").alias("band_idx", "band_hash"),

@@ -168,13 +168,20 @@ class _StageRunner:
         """``lazy=True`` marks a stage whose output is consumed at most
         once downstream (verify-pair frames, the pair union) or is an
         optional side-product (skew-audit frames): with no checkpoint_dir
-        it is returned unmaterialized — the single consumer's action
-        evaluates it exactly once from the already-checkpointed upstream
-        stages, and an unread audit costs zero jobs (guide §1.2: don't
-        compute what you throw away — every removed ``localCheckpoint``
-        barrier is one fewer driver round-trip + eager job). With a
-        checkpoint_dir the stage still materializes so resumed runs keep
-        their parquet and the resume contract is unchanged.
+        AND ``collect_stats=False`` it is returned unmaterialized — the
+        single consumer's action evaluates it exactly once from the
+        already-checkpointed upstream stages, and an unread audit costs
+        zero jobs (guide §1.2: don't compute what you throw away — every
+        removed ``localCheckpoint`` barrier is one fewer driver
+        round-trip + eager job). With ``collect_stats=True`` (the
+        default) the stage materializes as before, so the documented
+        metrics/lineage contract — a real row count for EVERY stage, and
+        a ``PipelineResult.pairs`` that multiple consumers (e.g.
+        ``write_outputs``) can read without re-running verify joins —
+        holds exactly; bench/cluster-only callers opt into the lean mode
+        explicitly. With a checkpoint_dir the stage still materializes so
+        resumed runs keep their parquet and the resume contract is
+        unchanged.
 
         ``local_only=True`` marks a REUSE point that is worth pinning in
         executor memory interactively but not worth a full parquet write
@@ -183,7 +190,7 @@ class _StageRunner:
         plan shape)."""
         t0 = time.monotonic()
         resumed = False
-        if self.dir is None and lazy:
+        if self.dir is None and lazy and not self.collect_stats:
             out = build()
             with self._lock:
                 self.metrics.append(
@@ -199,11 +206,12 @@ class _StageRunner:
             # label the stage's jobs (guide §1.5) — build() may itself run
             # eager sub-jobs (internal checkpoints/probes), so set the
             # description around the whole block
-            self.spark.sparkContext.setJobDescription(f"stage:{stage}")
-            try:
+            from .session import job_description
+
+            with job_description(
+                self.spark.sparkContext, f"stage:{stage}"
+            ):
                 out = build().localCheckpoint(eager=True)
-            finally:
-                self.spark.sparkContext.setJobDescription(None)
         elif self._committed(stage):
             out = self.spark.read.parquet(self._path(stage))
             resumed = True

@@ -8,9 +8,28 @@ only ``master`` and the partition counts change (scaled to total cores).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def job_description(sc, desc: str):
+    """Scoped ``setJobDescription`` that RESTORES the enclosing label.
+
+    ``setJobDescription(None)`` in a ``finally`` clobbers whatever label
+    an outer scope had set (a nested ``cc:canon`` reset used to strip
+    the surrounding ``stage:clusters`` from every later job in the
+    stage). Saving ``spark.job.description`` and writing it back keeps
+    the job-audit labels truthful under nesting.
+    """
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
 
 
 def get_spark(
@@ -118,7 +137,12 @@ def ensure_min_partitions(
         target = target_bytes if target_bytes is not None else int(
             os.environ.get("GD_SCAN_TARGET_BYTES", str(128 << 10))
         )
-        min_parts = cap
+        # Fallback when input sizes are unreadable (non-POSIX paths,
+        # object stores): plain defaultParallelism, never the
+        # oversubscribed cap — cap_factor is only ever earned by a
+        # measured byte count, otherwise a corpus on hdfs:// would eat a
+        # blanket 4x-cores round-robin shuffle here.
+        min_parts = sc.defaultParallelism
         try:
             files = df.inputFiles()
             if files:

@@ -169,14 +169,13 @@ def process_batch(
     spark = batch_df.sparkSession
     os.makedirs(state_dir, exist_ok=True)
     epoch = _next_epoch(state_dir)
-    spark.sparkContext.setJobDescription(f"stream:epoch{epoch}")
-    try:
+    from .session import job_description
+
+    with job_description(spark.sparkContext, f"stream:epoch{epoch}"):
         return _process_batch_inner(
             spark, batch_df, state_dir, epoch, w, num_perm, bands, rows,
             threshold, max_bucket_size, seed, collect_stats,
         )
-    finally:
-        spark.sparkContext.setJobDescription(None)
 
 
 def _process_batch_inner(
@@ -321,23 +320,32 @@ def _process_batch_inner(
         ).unionByName(hist_audit)
         writes.append(("band_audits", audits))
 
-    # The store writes are independent (distinct append paths, no
-    # read-after-write inside a batch); submitting them from a small
-    # driver pool (guide §2.6) lets the tiny dictionary/assignment writes
+    # The store writes are independent within a batch (distinct append
+    # paths, no read-after-write); submitting them from a small driver
+    # pool (guide §2.6) lets the tiny dictionary/assignment writes
     # back-fill cores while the verify-bearing edges write runs, instead
-    # of paying one driver barrier each in sequence.
+    # of paying one driver barrier each in sequence. EXCEPT content_keys:
+    # it commits FIRST and alone, preserving the crash invariant the old
+    # sequential order gave — a mid-batch crash may leave band/shingle
+    # rows for ids whose content key never landed, and the next epoch
+    # would then mint a SECOND canonical id for the same content while
+    # the orphaned postings still join as history. Writing the dictionary
+    # before its references makes that state unreachable (the converse —
+    # keys without postings — only costs recall on the crashed batch).
+    from .session import job_description
+
     def _write(item):
         name, df_ = item
-        spark.sparkContext.setJobDescription(f"stream:epoch{epoch}:write:{name}")
-        try:
+        with job_description(
+            spark.sparkContext, f"stream:epoch{epoch}:write:{name}"
+        ):
             df_.write.mode("append").parquet(_store_path(state_dir, name))
-        finally:
-            spark.sparkContext.setJobDescription(None)
 
     from concurrent.futures import ThreadPoolExecutor
 
+    _write(writes[0])  # content_keys — the commit-order anchor
     with ThreadPoolExecutor(max_workers=3) as pool:
-        list(pool.map(_write, writes))
+        list(pool.map(_write, writes[1:]))
     return counters
 
 

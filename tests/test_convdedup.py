@@ -194,3 +194,20 @@ def test_tool_masked_sql_twin(spark, tool_convs):
         for r in tool_masked_dup_groups(tool_convs).collect()
     }
     assert got == twin
+
+
+def test_cluster_path_validates_args(spark):
+    """The cluster path bypasses the public pairs wrapper, so validation
+    must live in the shared core: invalid threshold/measure raise the
+    clean ValueError from every entry point, not an opaque
+    AnalysisException (or a silent all-pairs explosion at threshold 0)."""
+    from rust_gd_spark.operators.convdedup import conversation_dup_clusters
+
+    tr = spark.sql(
+        "select concat('c', id % 4) as conv_id, concat('t', id) as text"
+        " from range(12)"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        conversation_dup_clusters(tr, threshold=0.0).collect()
+    with pytest.raises(ValueError, match="measure"):
+        conversation_dup_clusters(tr, measure="cosine").collect()

@@ -92,3 +92,17 @@ def test_ensure_min_partitions_cap_factor(spark, tmp_path):
         spark.read.parquet(p), target_bytes=1 << 30, cap_factor=4
     )
     assert narrow.rdd.getNumPartitions() <= df.rdd.getNumPartitions() + 1
+
+
+def test_job_description_restores_enclosing_label(spark):
+    """Nested scoped labels must restore the outer label, not clear it —
+    the job-audit tooling depends on stage labels surviving inner
+    operator scopes (e.g. cc:canon inside stage:clusters)."""
+    from rust_gd_spark.session import job_description
+
+    sc = spark.sparkContext
+    with job_description(sc, "outer"):
+        with job_description(sc, "inner"):
+            assert sc.getLocalProperty("spark.job.description") == "inner"
+        assert sc.getLocalProperty("spark.job.description") == "outer"
+    assert sc.getLocalProperty("spark.job.description") is None
